@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.corpus.Synth
+import graft.crawl.{Crawler, Snapshot}
+
+/** Crawl-engine entry point (spark-submit surface).
+  *
+  * Synthesizes the pages corpus at the given scale, runs the frontier
+  * loop to exhaustion (or maxRounds), and prints one JSON line with
+  * throughput — the north-star metric "frontier URLs processed/sec
+  * (fetch + dedup + skill-extract)".
+  *
+  * Usage: graft.CrawlMain [nHosts] [basePages] [maxRounds] [snapshotDir]
+  * Env:   SPARK_GRAFT_CPUS (default 4) — local[N] parallelism; the
+  *        N-vs-4N scaling evidence for BASELINE.md runs this main at
+  *        two values on the same input.
+  */
+object CrawlMain {
+  def main(args: Array[String]): Unit = {
+    val nHosts = if (args.length > 0) args(0).toInt else 50
+    val basePages = if (args.length > 1) args(1).toInt else 16
+    val maxRounds = if (args.length > 2) args(2).toInt else 200
+    val snapDir = if (args.length > 3) Some(args(3)) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-crawl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pages = Synth.pages(spark, nHosts, basePages).toDF().cache()
+    val corpusSize = pages.count() // materialize before timing the crawl
+    val robots = Synth.robots(spark, nHosts)
+    val seeds = Synth.seeds(spark, nHosts)
+    val dict = Synth.escoLabels().map(l => (l.concept_uri, l.preferred_label))
+
+    val snap = snapDir.map(d => new Snapshot(d))
+    val t0 = System.nanoTime()
+    val (state, results, lineage) = Crawler.crawl(pages, robots, seeds,
+      dict, maxRounds = maxRounds, roundMs = 4000L, snapshot = snap)
+    val fetched = state.totalFetched
+    val skillHits = results.selectExpr("sum(size(skill_uris))")
+      .head.getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rounds = state.round
+    val _ = lineage
+    println(
+      s"""{"metric":"frontier_urls_per_sec","value":${fetched / secs},""" +
+      s""""unit":"urls/sec","fetched":$fetched,"corpus":$corpusSize,""" +
+      s""""rounds":$rounds,"skill_hits":$skillHits,"seconds":$secs,""" +
+      s""""cpus":$cpus}""")
+    spark.stop()
+  }
+}

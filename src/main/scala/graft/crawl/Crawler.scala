@@ -1,0 +1,124 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract.EscoMatcher
+import graft.frontier.Frontier
+import graft.model._
+
+/** The driver-side round loop: iterative BFS with a persistent queue —
+  * the reference's crawl lifecycle (/root/reference/crawler.py:4-36 +
+  * apify.js request queue) re-expressed as batch rounds over snapshotted
+  * Datasets (SURVEY.md §2.9: no Structured Streaming — queue reordering
+  * and the global politeness budget fit batch rounds).
+  *
+  * Each round is one `Round.run` Dataset pipeline; between rounds the
+  * frontier / seen / results / lineage tables are committed to a
+  * `Snapshot` (Iceberg emulation), so `resume` continues exactly from the
+  * last committed round — interrupted and uninterrupted runs produce
+  * identical final state (tested by CrawlerSpec).
+  */
+object Crawler {
+
+  final case class CrawlState(
+      round: Int,
+      frontier: Dataset[FrontierEntry],
+      seenHashes: DataFrame, // url_hash: Long
+      totalFetched: Long)
+
+  def initialState(seeds: Dataset[Seed], pages: DataFrame)
+      (implicit spark: SparkSession): CrawlState = {
+    import spark.implicits._
+    // seeds get the corpus warc_ts when known, else epoch (still fetchable)
+    val seeded = seeds.toDF()
+      .join(pages.select(col("url"), col("warc_ts")), Seq("url"), "left")
+      .withColumn("warc_ts",
+        coalesce(col("warc_ts"), lit(new java.sql.Timestamp(0L))))
+      .withColumn("depth", lit(0))
+    val frontier = Frontier.fromUrls(seeded,
+      graft.corpus.Synth.priorityKeywords,
+      graft.corpus.Synth.excludeKeywords)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("url_hash",
+          org.apache.spark.sql.types.LongType))))
+    CrawlState(0, frontier, empty, 0L)
+  }
+
+  /** Run rounds until the frontier drains or maxRounds; snapshot each
+    * round when a Snapshot is given. Returns the final state; results and
+    * lineage accumulate in the snapshot (or `collectResults` for tests). */
+  def crawl(
+      pages: DataFrame,
+      robots: Dataset[RobotsRule],
+      seeds: Dataset[Seed],
+      dictLabels: Seq[(String, String)],
+      maxRounds: Int = 50,
+      roundMs: Long = 4000L,
+      snapshot: Option[Snapshot] = None,
+      bloomPrefilter: Boolean = false)
+      (implicit spark: SparkSession)
+      : (CrawlState, Dataset[CrawlResult], Dataset[Lineage]) = {
+    import spark.implicits._
+    val dict = EscoMatcher.broadcastDict(spark, dictLabels)
+
+    var state = snapshot.filter(_.latest() >= 0) match {
+      case Some(s) =>
+        val r = s.latest()
+        CrawlState(r + 1,
+          s.read(r, "frontier").as[FrontierEntry],
+          s.read(r, "seen"),
+          s.counters(r).getOrElse("total_fetched", 0L))
+      case None => initialState(seeds, pages)
+    }
+    var allResults = spark.emptyDataset[CrawlResult]
+    var allLineage = spark.emptyDataset[Lineage]
+    snapshot.filter(_.latest() >= 0).foreach { s =>
+      val r = s.latest()
+      allResults = s.read(r, "results").as[CrawlResult]
+      allLineage = s.read(r, "lineage").as[Lineage]
+    }
+
+    var continue = true
+    while (continue && state.round < maxRounds) {
+      val out = Round.run(pages, robots, state.frontier, state.seenHashes,
+        dict, state.round, roundMs, bloomPrefilter)
+      if (out.fetchedCount == 0L) {
+        continue = false
+      } else {
+        allResults = allResults.unionByName(out.results)
+        allLineage = allLineage.unionByName(out.lineage)
+        val newSeen = state.seenHashes.unionByName(out.newSeenHashes)
+          .distinct()
+        val next = CrawlState(state.round + 1, out.nextFrontier, newSeen,
+          state.totalFetched + out.fetchedCount)
+        snapshot.foreach { s =>
+          s.write(state.round, Map(
+            "frontier" -> next.frontier.toDF(),
+            "seen" -> next.seenHashes,
+            "results" -> allResults.toDF(),
+            "lineage" -> allLineage.toDF()),
+            Map("total_fetched" -> next.totalFetched,
+              "round_fetched" -> out.fetchedCount))
+          // re-read from the snapshot: truncates lineage-of-plans so the
+          // logical plan does not grow across rounds (checkpoint effect)
+          allResults = s.read(state.round, "results").as[CrawlResult]
+          allLineage = s.read(state.round, "lineage").as[Lineage]
+          state = CrawlState(next.round,
+            s.read(state.round, "frontier").as[FrontierEntry],
+            s.read(state.round, "seen"), next.totalFetched)
+        }
+        if (snapshot.isEmpty) {
+          // local plan-truncation for snapshot-less runs
+          state = CrawlState(next.round,
+            next.frontier.localCheckpoint(true).as[FrontierEntry],
+            next.seenHashes.localCheckpoint(true), next.totalFetched)
+          allResults = allResults.localCheckpoint(true).as[CrawlResult]
+          allLineage = allLineage.localCheckpoint(true).as[Lineage]
+        }
+      }
+    }
+    (state, allResults, allLineage)
+  }
+}

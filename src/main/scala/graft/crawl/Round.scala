@@ -1,0 +1,150 @@
+package graft.crawl
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract.{EscoMatcher, TextExtract}
+import graft.frontier.Frontier
+import graft.model._
+import graft.seen.BloomShard
+import graft.url.Canonical
+
+/** One crawl round as a single typed Dataset pipeline (north rule: "each
+  * fetch round is a typed Dataset pipeline").
+  *
+  * Mirrors the reference's per-request flow (/root/reference/apify.js:
+  * 103-170 — fetch, gate, pipeline, link scrape, dedup, enqueue) but
+  * set-at-a-time:
+  *
+  *   frontier ──anti-join──> unseen ──robots/exclude──> gated
+  *     ──window(host budget)──> selected ──join pages──> fetched
+  *     ──TextExtract+EscoMatcher──> results
+  *   fetched.html ──links──explode──canonicalize──same-host──> candidates
+  *     ──anti-join(seen ∪ selected)──> new frontier entries
+  *
+  * Shuffle census per round: the budget window (partition by host), the
+  * fetch join (frontier ⋈ pages on url — both sides can be bucketed by
+  * url_hash at scale), and the two anti-joins (hash-partitioned on
+  * url_hash; Bloom shards prefilter map-side so the exact anti-join only
+  * sees Bloom-positive survivors). Dimension tables (robots, budgets,
+  * ESCO dict) are broadcast.
+  */
+object Round {
+
+  final case class Output(
+      results: Dataset[CrawlResult],
+      nextFrontier: Dataset[FrontierEntry],
+      newSeenHashes: DataFrame, // url_hash: Long of this round's fetches
+      lineage: Dataset[Lineage],
+      fetchedCount: Long)
+
+  def run(
+      pages: DataFrame, // the corpus: url, warc_ts, html, text, lang
+      robots: Dataset[RobotsRule],
+      frontier: Dataset[FrontierEntry],
+      seenHashes: DataFrame, // url_hash: Long
+      dict: Broadcast[EscoMatcher.Dict],
+      roundNo: Int,
+      roundMs: Long = 4000L,
+      bloomPrefilter: Boolean = false)
+      (implicit spark: SparkSession): Output = {
+    import spark.implicits._
+
+    // 1. dedup against the seen set. Bloom prefilters map-side (no
+    //    shuffle on the frontier); the exact anti-join guarantees no
+    //    double-fetch even on Bloom false negatives (there are none) —
+    //    at full scale the Bloom pass removes ~all matches first.
+    val prefiltered =
+      if (bloomPrefilter) {
+        val shards = BloomShard.build(seenHashes)
+        BloomShard.filterUnseen(frontier.toDF(), shards)
+      } else frontier.toDF()
+    val unseen = prefiltered
+      .join(seenHashes, Seq("url_hash"), "left_anti")
+      .select(Frontier.Cols.map(col): _*)
+      .as[FrontierEntry]
+
+    // 2. robots + politeness budget selection
+    val gated = Frontier.robotsGate(unseen, robots)
+    val (selected, deferred) = Frontier.selectRound(gated, robots, roundMs)
+
+    // 3. "fetch" = join the corpus (the synthesized pages table IS the
+    //    web; SURVEY.md S1). Misses (dangling links) retry up to the cap.
+    val sel = selected.toDF().alias("f")
+    val fetched = sel.join(pages.alias("p"), col("f.url") === col("p.url"))
+      .select(col("f.url").as("url"), col("f.url_hash").as("url_hash"),
+        col("f.host").as("host"), col("f.depth").as("depth"),
+        col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
+        col("p.text").as("corpus_text"), col("p.lang").as("lang"))
+      .cache()
+
+    val missed = sel.join(pages.alias("p2"), col("f.url") === col("p2.url"),
+        "left_anti")
+      .withColumn("retry_count", col("retry_count") + 1)
+      .filter(col("retry_count") < Frontier.MaxRetries)
+      .select(Frontier.Cols.map(col): _*)
+      .as[FrontierEntry]
+
+    // 4. extract text + skills. Text comes from the deterministic
+    //    extraction UDF over html; byte-identity vs the corpus text column
+    //    is the input_hint invariant (tested; see TextExtractSpec).
+    val matchUris = EscoMatcher.matcherUdf(dict)
+    val labelOf = udf((uris: Seq[String]) =>
+      uris.map(u => dict.value.labelOf.getOrElse(u, u)).sorted)
+    val results = fetched
+      .withColumn("text", TextExtract.extractText(col("html")))
+      .withColumn("skill_uris", matchUris(col("text")))
+      .withColumn("skill_labels", labelOf(col("skill_uris")))
+      .withColumn("round", lit(roundNo))
+      .select("url", "url_hash", "host", "round", "depth", "text", "lang",
+        "skill_uris", "skill_labels")
+      .as[CrawlResult]
+      .cache()
+    val fetchedCount = results.count()
+
+    // 5. link scrape → new frontier candidates (same-host only,
+    //    apify.js:156-163), depth+1, dedup'd against seen ∪ this round.
+    val rawLinks = fetched
+      .select(col("url").as("src_url"), col("host").as("src_host"),
+        col("warc_ts"), col("depth"),
+        explode_outer(TextExtract.extractLinks(col("html"))).as("href"))
+      .filter(col("href").isNotNull)
+      .withColumn("url", Canonical.resolveUdf(col("src_url"), col("href")))
+      .filter(col("url").startsWith("http"))
+      .filter(Canonical.urlHost(col("url")) === col("src_host"))
+      .select(col("url"), col("warc_ts"), (col("depth") + 1).as("depth"))
+    val candidates = Frontier.fromUrls(rawLinks,
+        Synthesized.priorityKeywords, Synthesized.excludeKeywords)
+      .join(seenHashes, Seq("url_hash"), "left_anti")
+      .join(results.select("url_hash"), Seq("url_hash"), "left_anti")
+      .select(Frontier.Cols.map(col): _*)
+      .as[FrontierEntry]
+
+    val nextFrontier = Frontier.merge(
+      deferred.toDF().unionByName(missed.toDF()).as[FrontierEntry],
+      candidates)
+
+    // 6. per-partition lineage counters (SDK_CRAWLER_STATISTICS analog)
+    val lineage = results
+      .withColumn("partition_id", spark_partition_id())
+      .groupBy(col("partition_id"))
+      .agg(count(lit(1)).as("fetch_count"),
+        sum(when(length(col("text")) > 0, 1).otherwise(0)).as("extract_count"),
+        sum(size(col("skill_uris"))).as("skill_hits"))
+      .withColumn("round", lit(roundNo))
+      .withColumn("new_links", lit(0L)) // patched by caller with count
+      .select("round", "partition_id", "fetch_count", "extract_count",
+        "new_links", "skill_hits")
+      .as[Lineage]
+
+    Output(results, nextFrontier, results.select("url_hash").toDF(),
+      lineage, fetchedCount)
+  }
+
+  /** Keyword lists used for candidate scoring — the corpus generator and
+    * the engine share these gates (apify.js:12-30 analogs). */
+  object Synthesized {
+    val priorityKeywords: Seq[String] = graft.corpus.Synth.priorityKeywords
+    val excludeKeywords: Seq[String] = graft.corpus.Synth.excludeKeywords
+  }
+}

@@ -1,0 +1,77 @@
+package graft.seen
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.url.Canonical
+
+class FiltersSpec extends AnyFunSuite {
+
+  private def hashes(n: Int, salt: String = ""): Seq[Long] =
+    (0 until n).map(i => Canonical.hash64(s"https://u$salt$i.edu/p$i"))
+
+  test("bloom: no false negatives (the scale-free guarantee)") {
+    val m = 1 << 16
+    val k = 7
+    val bits = new Array[Long](m >>> 6)
+    val keys = hashes(3000)
+    keys.foreach(h => BloomShard.setBits(bits, h, m, k))
+    assert(keys.forall(h => BloomShard.mightContain(bits, h, m, k)))
+  }
+
+  test("bloom: false-positive rate near theory (~1% at 10 bits/key, k=7)") {
+    val m = 1 << 16 // 65536 bits
+    val k = 7
+    val bits = new Array[Long](m >>> 6)
+    hashes(6000).foreach(h => BloomShard.setBits(bits, h, m, k)) // ~11 b/key
+    val probes = hashes(20000, "x")
+    val fp = probes.count(h => BloomShard.mightContain(bits, h, m, k))
+    val rate = fp.toDouble / probes.size
+    assert(rate < 0.03, s"fp rate $rate too high")
+  }
+
+  test("bloom: serialization roundtrip preserves membership") {
+    val m = 1 << 12
+    val bits = new Array[Long](m >>> 6)
+    val keys = hashes(100)
+    keys.foreach(h => BloomShard.setBits(bits, h, m, 5))
+    val back = BloomShard.fromBytes(BloomShard.toBytes(bits))
+    assert(keys.forall(h => BloomShard.mightContain(back, h, m, 5)))
+  }
+
+  test("cuckoo: insert → contains; delete → gone; re-insert works") {
+    val f = new CuckooFilter(1 << 12)
+    val keys = hashes(8000) // ~49% load of 16384 slots
+    keys.foreach(h => assert(f.insert(h)))
+    assert(keys.forall(f.contains))
+    val victim = keys(1234)
+    assert(f.delete(victim))
+    // cuckoo fp on a deleted key is possible only via fingerprint
+    // collision in its two buckets — assert re-insert restores membership
+    assert(f.insert(victim))
+    assert(f.contains(victim))
+  }
+
+  test("cuckoo: deletion supports re-crawl semantics (delete all, empty)") {
+    val f = new CuckooFilter(1 << 8)
+    val keys = hashes(300)
+    keys.foreach(f.insert)
+    keys.foreach(f.delete)
+    assert(f.size === 0L)
+  }
+
+  test("cuckoo: serialization roundtrip") {
+    val f = new CuckooFilter(1 << 10)
+    val keys = hashes(1500)
+    keys.foreach(f.insert)
+    val back = CuckooFilter.fromBytes(f.toBytes)
+    assert(back.size === f.size)
+    assert(keys.forall(back.contains))
+  }
+
+  test("cuckoo: low false-positive rate") {
+    val f = new CuckooFilter(1 << 12)
+    hashes(10000).foreach(f.insert)
+    val probes = hashes(20000, "y")
+    val fp = probes.count(f.contains)
+    assert(fp.toDouble / probes.size < 0.01)
+  }
+}
