@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** N-vs-4N scaling evidence (BASELINE.md sandbox substitution for the
+  * north rule's two-cluster-size criterion): runs the identical crawl
+  * job on the same input at local[8] and local[32] in one JVM
+  * (sequential sessions), prints throughput at both plus
+  * efficiency = (urls/s @32) / (4 × urls/s @8).
+  */
+object ScalingBench {
+
+  private def crawlAt(cores: Int, nHosts: Int, basePages: Int)
+      : (Long, Double) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = Bench.runCrawl(spark, nHosts, basePages)
+    spark.stop()
+    // a fresh builder after stop() creates a new context (same JVM)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nHosts = if (args.length > 0) args(0).toInt else 400
+    val basePages = if (args.length > 1) args(1).toInt else 48
+    val (f8, t8) = crawlAt(8, nHosts, basePages)
+    val (f32, t32) = crawlAt(32, nHosts, basePages)
+    require(f8 == f32, s"same input must fetch same urls: $f8 vs $f32")
+    val r8 = f8 / t8
+    val r32 = f32 / t32
+    val eff = r32 / (4.0 * r8)
+    println(s"""{"metric":"scaling_efficiency","value":$eff,""" +
+      s""""urls_per_sec_8":$r8,"urls_per_sec_32":$r32,""" +
+      s""""fetched":$f8,"secs_8":$t8,"secs_32":$t32}""")
+  }
+}

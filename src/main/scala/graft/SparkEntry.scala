@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — flagship query + the full named-query surface with
+  * DuckDB oracle twins (see SURVEY.md §7.0 and the per-module Scaladoc:
+  * graft.analytics.Queries, graft.dedup.Dedup, graft.similarity.Ann,
+  * graft.text.TextStats).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the canonical star join (reference JOIN_SKILL_ON_COURSE,
+    * /root/reference/main.py:491-496) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    analytics.Queries.qJoinStar(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * training-pipeline operators: dedup, ANN, text analysis). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    analytics.Queries.queries ++
+      dedup.Dedup.queries ++
+      similarity.Ann.queries ++
+      text.TextStats.queries
+
+  /** DuckDB ANSI twins. Keys absent here (q_dedup_minhash,
+    * q_dedup_simhash, q_ann_lsh, q_langid) are probabilistic / UDF-based
+    * operators verified by ScalaTest properties instead; the driver
+    * records a rows-only check for them. */
+  def oracleSql: Map[String, String] =
+    analytics.Queries.oracles ++
+      dedup.Dedup.oracles ++
+      similarity.Ann.oracles ++
+      text.TextStats.oracles
 }

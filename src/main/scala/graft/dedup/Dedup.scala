@@ -1,0 +1,240 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.url.Canonical
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact (hash-groupBy), MinHash+LSH, SimHash, and exact
+  * n-gram-Jaccard via an inverted-index join.
+  *
+  * Design for 100 TB: every variant is one or two hash shuffles keyed on
+  * a content signature — no cross joins anywhere. Exact dedup shuffles on
+  * md5(text); MinHash shuffles on (band, band_signature); SimHash on
+  * 16-bit bands. Candidate verification is per-pair map work after a
+  * co-partitioned self-join.
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup: keep min(doc_id) per content hash. One shuffle on the
+    * 128-bit content hash (md5); at 100 TB the map side hashes locally so
+    * only (hash, doc_id) pairs shuffle, not text. */
+  val qDedupExact: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy(col("content_hash"))
+
+  // ------------------------------------------------ exact token jaccard
+
+  /** Exact near-duplicate pairs by unigram-token Jaccard ≥ threshold,
+    * via an inverted-index self-join (explode tokens → join on token →
+    * count shared). Exact because J(a,b) > 0 ⟹ the pair shares ≥1 token,
+    * so the index join has perfect recall. Integer set sizes → the
+    * Jaccard double is bit-exact vs the oracle's cross join.
+    *
+    * Scale note: common tokens make the index join skew (a token in k
+    * docs yields k² candidate rows). The production-scale path is
+    * [[minhashPairs]]; this exact variant is the correctness gate.
+    */
+  def tokenJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(trim(col("text"))), " ")))
+          .as("token"))
+    val sizes = tokens.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"))
+    val pairs = tokens.alias("a")
+      .join(tokens.alias("b"), col("a.token") === col("b.token") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_tokens", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_tokens", "nb"), Seq("doc_b"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qNeardupTokens: (SparkSession, String) => DataFrame = (s, dir) =>
+    tokenJaccardPairs(t(s, dir), 0.8)
+
+  // ----------------------------------------------------------- MinHash
+
+  val ShingleSize = 3
+  val NumHashes = 64
+  val Bands = 16 // 16 bands × 4 rows
+
+  /** 3-token shingle set of a document (lowercased, whitespace-split). */
+  def shingles(text: String): Set[Long] = {
+    if (text == null) return Set.empty
+    val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < ShingleSize)
+      return Set(Canonical.hash64(toks.mkString(" ")))
+    toks.sliding(ShingleSize)
+      .map(w => Canonical.hash64(w.mkString(" "))).toSet
+  }
+
+  /** MinHash signature: numHashes permutations simulated by mixing the
+    * shingle hash with per-function seeds (standard one-permutation-free
+    * construction; Broder 1997 resemblance sketch). */
+  def minhash(text: String): Array[Long] = {
+    val sh = shingles(text)
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    sh.foreach { h =>
+      var i = 0
+      while (i < NumHashes) {
+        val v = graft.corpus.Synth.mix(h ^ (0x1000003L * (i + 1)))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Banded LSH candidate pairs + exact shingle-Jaccard verification.
+    * Two shuffles: (band, signature-slice hash) self-group, then the
+    * verify join. Probability a pair with J=0.8 is caught:
+    * 1-(1-0.8^4)^16 ≈ 0.9997. */
+  def minhashPairs(docs: DataFrame, threshold: Double)
+      (implicit spark: SparkSession): DataFrame = {
+    val sigUdf = udf((text: String) => minhash(text))
+    val withSig = docs.select(col("doc_id"), col("text"),
+      sigUdf(col("text")).as("sig"))
+    val rowsPerBand = NumHashes / Bands
+    val banded = withSig.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> " +
+        s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
+        .as(Seq("band", "band_sig")))
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val texts = docs.select(col("doc_id"), col("text"))
+    val jacc = udf((ta: String, tb: String) => {
+      val sa = shingles(ta); val sb = shingles(tb)
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    })
+    candidates
+      .join(texts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("text", "text_a"), Seq("doc_a"))
+      .join(texts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("text", "text_b"), Seq("doc_b"))
+      .withColumn("jaccard", jacc(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupMinhash: (SparkSession, String) => DataFrame = (s, dir) =>
+    minhashPairs(t(s, dir), 0.5)(s)
+
+  /** Brute-force shingle-Jaccard pairs — test oracle for minhash recall
+    * (only run at test scale). */
+  def bruteForceShinglePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val jacc = udf((ta: String, tb: String) => {
+      val sa = shingles(ta); val sb = shingles(tb)
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    })
+    val texts = docs.select(col("doc_id"), col("text"))
+    texts.alias("a").crossJoin(texts.alias("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard", jacc(col("a.text"), col("b.text")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("jaccard"))
+  }
+
+  // ----------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash (Charikar 2002): sum ±1 per bit over token hashes,
+    * take signs. Near-dup ⟺ small Hamming distance. */
+  def simhash(text: String): Long = {
+    if (text == null) return 0L
+    val counts = new Array[Int](64)
+    text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+      val h = Canonical.hash64(tok)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with Hamming ≤ maxDist via 4×16-bit band
+    * join (pigeonhole: distance ≤ 3 ⟹ ≥1 of 4 bands identical). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole covers Hamming ≤ 3")
+    val shUdf = udf((text: String) => simhash(text))
+    val withSh = docs.select(col("doc_id"), shUdf(col("text")).as("sh"))
+    val banded = withSh.select(col("doc_id"), col("sh"),
+      posexplode(expr(
+        "transform(sequence(0,3), b -> (shiftright(sh, b*16) & 65535))"))
+        .as(Seq("band", "band_val")))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupSimhash: (SparkSession, String) => DataFrame = (s, dir) =>
+    simhashPairs(t(s, dir), 3)
+
+  // ---------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_neardup_tokens" -> qNeardupTokens,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash)
+
+  /** Oracles only for the SQL-expressible variants; minhash/simhash are
+    * covered by ScalaTest recall properties instead. */
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        | min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY content_hash
+        |ORDER BY content_hash""".stripMargin,
+    "q_neardup_tokens" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |   (length(a.toks) + length(b.toks) -
+        |    length(list_intersect(a.toks, b.toks))) AS jaccard
+        |FROM tk a, tk b
+        |WHERE a.doc_id < b.doc_id
+        | AND CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |   (length(a.toks) + length(b.toks) -
+        |    length(list_intersect(a.toks, b.toks))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin)
+}

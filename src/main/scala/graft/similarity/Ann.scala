@@ -1,0 +1,174 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.corpus.Synth
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast join of the (small)
+  * query set against the corpus, one shuffle for the per-query top-k
+  * window. Scale path: random-hyperplane LSH bucketing — each vector maps
+  * to a small number of bucket keys, candidates come from a bucket
+  * equi-join, so the corpus is scanned once and never cross-joined.
+  */
+object Ann {
+
+  private def t(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Cosine similarity between two double-array columns — expressed with
+    * `zip_with`/`aggregate` so it stays inside codegen (no Scala UDF in
+    * the hot path). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** Brute-force top-k: queries × corpus with a per-query rank window.
+    * The query side broadcasts; ranking key rounds cosine to 4 dp with a
+    * vec_id tie-break so the result is engine-stable. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qAnnTopK: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = t(s, dir)
+    bruteForceTopK(e, e.filter(col("vec_id") < 5), 10)
+  }
+
+  /** Similar-pair search on a sampled subset (embedding near-dup shape):
+    * pairs (a % 25 == 0) × all with rounded cosine ≥ 0.35. */
+  val qEmbSimilarPairs: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = t(s, dir)
+    val a = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("vec_a"), asDouble(col("embedding")).as("va"))
+    val b = e.select(col("vec_id").as("vec_b"),
+      asDouble(col("embedding")).as("vb"))
+    b.crossJoin(broadcast(a))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  // ------------------------------------------------- LSH-bucketed ANN
+
+  // Tuned for weak-similarity corpora (top-neighbor cos ≈ 0.4 in the
+  // testdata): fewer bits per bucket, more tables. p(bit agree) ≈ 0.65
+  // at θ≈63° → P(candidate) = 1-(1-0.65^6)^8 ≈ 0.47 for the nearest
+  // neighbor while scanning only ~10-15% of the corpus per query.
+  val NumPlanes = 6 // bucket key bits per table
+  val NumTables = 8
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p in
+    * table t = mix-based uniform in [-1,1). Seeded — no RNG state. */
+  def plane(table: Int, p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val v = Synth.mix(table.toLong * 1000003L + p * 8191L + j)
+      (v.toDouble / Long.MaxValue.toDouble)
+    }
+
+  /** Bucket signature of a vector in one table: sign bits vs each plane. */
+  def signature(vec: Seq[Double], table: Int): Int = {
+    var sig = 0
+    var p = 0
+    while (p < NumPlanes) {
+      val pl = plane(table, p, vec.length)
+      var dotv = 0.0
+      var j = 0
+      while (j < vec.length) { dotv += pl(j) * vec(j); j += 1 }
+      if (dotv >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** LSH ANN: explode each vector into NumTables bucket keys, equi-join
+    * queries to corpus on (table, signature), rank candidates by exact
+    * cosine. Recall < 1 by construction (tested ≥ threshold vs brute
+    * force); cost is O(corpus × tables) map work + a co-partitioned join
+    * — no cross join, so it survives a 10^9-vector corpus. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    val sigUdf = udf((v: Seq[Double], t: Int) => signature(v, t))
+    def bucketize(df: DataFrame, idCol: String, vecCol: String) = {
+      val d = df.select(col("vec_id").as(idCol),
+        asDouble(col("embedding")).as(vecCol))
+      d.withColumn("table", explode(lit((0 until NumTables).toArray)))
+        .withColumn("sig", sigUdf(col(vecCol), col("table")))
+    }
+    val qb = bucketize(queries, "query_id", "qv")
+    val cb = bucketize(corpus, "neighbor_id", "cv")
+    val cands = cb.join(broadcast(qb), Seq("table", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qv", "cv")
+      .distinct()
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qAnnLsh: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = t(s, dir)
+    lshTopK(e, e.filter(col("vec_id") < 5), 10)(s)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_topk" -> qAnnTopK,
+    "q_emb_similar_pairs" -> qEmbSimilarPairs,
+    "q_ann_lsh" -> qAnnLsh)
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  round(list_dot_product(q.v, c.v) /
+        |    (sqrt(list_dot_product(q.v, q.v)) *
+        |     sqrt(list_dot_product(c.v, c.v))), 4) AS cos
+        |  FROM e q, e c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_emb_similar_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) *
+        |    sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+        |FROM e a, e b
+        |WHERE a.vec_id % 25 = 0 AND a.vec_id < b.vec_id
+        | AND round(list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) *
+        |    sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}

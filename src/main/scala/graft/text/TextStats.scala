@@ -1,0 +1,150 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID, and document fingerprinting — all
+  * per-row map work (no shuffle except final ordering), so they scale
+  * linearly with corpus size.
+  */
+object TextStats {
+
+  private def t(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace token count, empty-safe (both engines agree on the
+    * empty-string edge via the same CASE guard). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  val qDocTokens: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_computed"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality signals: length, letter ratio, stopword ratio, mean token
+    * length — the length/punct/stopword heuristics of web-corpus quality
+    * filters (C4/Gopher-style rules), all per-row IEEE-exact arithmetic. */
+  val qDocQuality: (SparkSession, String) => DataFrame = (s, dir) => {
+    val d = t(s, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("letters",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
+    d.select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("letters").cast("double") / length(col("text")))
+          .as("letter_ratio"),
+        (size(filter(col("toks"),
+          tk => tk.isin(Stopwords.map(lit(_)): _*)))
+          .cast("double") / col("n_tokens")).as("stopword_ratio"),
+        ((length(col("text")) - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens")).as("mean_token_len"))
+      .withColumn("passes_quality",
+        col("n_tokens") >= 10 && col("letter_ratio") > 0.5 &&
+        col("stopword_ratio") >= 0.0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language distribution over the corpus (lang × source). */
+  val qLangDist: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir).groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text
+    * (rolling-hash analog, SQL-expressible for the oracle). */
+  val qDocFingerprint: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir).select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // --------------------------------------------------------- language ID
+
+  /** Stopword/character n-gram heuristic language identifier
+    * (langdetect stand-in, /root/reference/test_pipeline.py:85-93 role).
+    * Scores each candidate language by its marker-token hit count;
+    * deterministic argmax with alphabetical tie-break. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "avec"),
+    "es" -> Seq("el", "los", "las", "es", "con", "para"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "med"),
+    "el" -> Seq("και", "του", "της", "είναι", "με", "για"))
+
+  def detectLang(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    val counts = LangMarkers.map { case (lang, markers) =>
+      val m = markers.toSet
+      lang -> toks.count(m.contains)
+    }
+    val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+    if (best._2 == 0) "und" else best._1
+  }
+
+  /** Predicted vs stored language agreement per stored lang (no SQL
+    * oracle — heuristic UDF; covered by ScalaTest). */
+  val qLangId: (SparkSession, String) => DataFrame = (s, dir) => {
+    val detect = udf((text: String) => detectLang(text))
+    t(s, dir)
+      .withColumn("predicted", detect(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_tokens" -> qDocTokens,
+    "q_doc_quality" -> qDocQuality,
+    "q_lang_dist" -> qLangDist,
+    "q_doc_fingerprint" -> qDocFingerprint,
+    "q_langid" -> qLangId)
+
+  val oracles: Map[String, String] = Map(
+    "q_doc_tokens" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE length(regexp_split_to_array(trim(text), '\s+')) END
+        |   AS n_tokens,
+        | length(text) AS n_chars_computed, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_doc_quality" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE length(regexp_split_to_array(trim(text), '\s+')) END
+        |    AS n_tokens,
+        |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS letters
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        | CAST(letters AS DOUBLE) / length(text) AS letter_ratio,
+        | CAST(length(list_filter(toks, x -> x IN
+        |   ('the','a','of','and','to','in','is'))) AS DOUBLE) / n_tokens
+        |   AS stopword_ratio,
+        | CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens
+        |   AS mean_token_len,
+        | (n_tokens >= 10 AND
+        |  CAST(letters AS DOUBLE) / length(text) > 0.5)
+        |   AS passes_quality
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_lang_dist" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | sum(n_chars) AS total_chars
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
