@@ -31,16 +31,18 @@ object Bench {
     * corpus (~2.5k pages, 200 hosts, skewed) — the north-star metric at
     * sandbox scale. */
   def runCrawl(spark: SparkSession, nHosts: Int = 200,
-      basePages: Int = 24): (Long, Double) = {
+      basePages: Int = 24, richness: Int = 10,
+      roundMs: Long = 60000L): (Long, Double) = {
     implicit val s: SparkSession = spark
-    val pages = Synth.pages(spark, nHosts, basePages).toDF().cache()
+    val pages = Synth.pages(spark, nHosts, basePages, richness)
+      .toDF().cache()
     pages.count() // materialize corpus outside the timed window
     val robots = Synth.robots(spark, nHosts)
     val seeds = Synth.seeds(spark, nHosts)
     val dict = Synth.escoLabels().map(l => (l.concept_uri, l.preferred_label))
     val t0 = System.nanoTime()
     val (state, _, _) = Crawler.crawl(pages, robots, seeds, dict,
-      maxRounds = 60, roundMs = 20000L)
+      maxRounds = 60, roundMs = roundMs)
     pages.unpersist()
     (state.totalFetched, (System.nanoTime() - t0) / 1e9)
   }

@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
-  private def crawlAt(cores: Int, nHosts: Int, basePages: Int)
-      : (Long, Double) = {
+  private def crawlAt(cores: Int, nHosts: Int, basePages: Int,
+      richness: Int): (Long, Double) = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
@@ -20,7 +20,8 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val out = Bench.runCrawl(spark, nHosts, basePages)
+    val out = Bench.runCrawl(spark, nHosts, basePages, richness,
+      roundMs = 200000L)
     spark.stop()
     // a fresh builder after stop() creates a new context (same JVM)
     SparkSession.clearActiveSession()
@@ -28,17 +29,28 @@ object ScalingBench {
     out
   }
 
+  /** args: [cores|0] [nHosts] [basePages] [richness]. cores=0 runs both
+    * 8 and 32 sequentially; a single cores value prints one measurement
+    * (so long runs can be driven one parallelism level per process). */
   def main(args: Array[String]): Unit = {
-    val nHosts = if (args.length > 0) args(0).toInt else 400
-    val basePages = if (args.length > 1) args(1).toInt else 48
-    val (f8, t8) = crawlAt(8, nHosts, basePages)
-    val (f32, t32) = crawlAt(32, nHosts, basePages)
-    require(f8 == f32, s"same input must fetch same urls: $f8 vs $f32")
-    val r8 = f8 / t8
-    val r32 = f32 / t32
-    val eff = r32 / (4.0 * r8)
-    println(s"""{"metric":"scaling_efficiency","value":$eff,""" +
-      s""""urls_per_sec_8":$r8,"urls_per_sec_32":$r32,""" +
-      s""""fetched":$f8,"secs_8":$t8,"secs_32":$t32}""")
+    val cores = if (args.length > 0) args(0).toInt else 0
+    val nHosts = if (args.length > 1) args(1).toInt else 500
+    val basePages = if (args.length > 2) args(2).toInt else 64
+    val richness = if (args.length > 3) args(3).toInt else 30
+    if (cores > 0) {
+      val (f, t) = crawlAt(cores, nHosts, basePages, richness)
+      println(s"""{"metric":"crawl_throughput","cores":$cores,""" +
+        s""""urls_per_sec":${f / t},"fetched":$f,"secs":$t}""")
+    } else {
+      val (f8, t8) = crawlAt(8, nHosts, basePages, richness)
+      val (f32, t32) = crawlAt(32, nHosts, basePages, richness)
+      require(f8 == f32, s"same input must fetch same urls: $f8 vs $f32")
+      val r8 = f8 / t8
+      val r32 = f32 / t32
+      val eff = r32 / (4.0 * r8)
+      println(s"""{"metric":"scaling_efficiency","value":$eff,""" +
+        s""""urls_per_sec_8":$r8,"urls_per_sec_32":$r32,""" +
+        s""""fetched":$f8,"secs_8":$t8,"secs_32":$t32}""")
+    }
   }
 }

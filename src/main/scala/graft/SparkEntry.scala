@@ -18,17 +18,24 @@ object SparkEntry {
     * training-pipeline operators: dedup, ANN, text analysis). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Queries.queries ++
+      analytics.FuzzyQueries.queries ++
+      analytics.Mining.queries ++
       dedup.Dedup.queries ++
       similarity.Ann.queries ++
-      text.TextStats.queries
+      text.TextStats.queries ++
+      ml.MlOps.queries
 
   /** DuckDB ANSI twins. Keys absent here (q_dedup_minhash,
-    * q_dedup_simhash, q_ann_lsh, q_langid) are probabilistic / UDF-based
-    * operators verified by ScalaTest properties instead; the driver
-    * records a rows-only check for them. */
+    * q_dedup_simhash, q_ann_lsh, q_langid, q_fuzzy_join, q_best_match,
+    * q_nested_groups, q_tfidf_similar, q_kmeans_clusters) are
+    * probabilistic / UDF / ML operators verified by ScalaTest properties
+    * instead; the driver records a rows-only check for them. */
   def oracleSql: Map[String, String] =
     analytics.Queries.oracles ++
+      analytics.FuzzyQueries.oracles ++
+      analytics.Mining.oracles ++
       dedup.Dedup.oracles ++
       similarity.Ann.oracles ++
-      text.TextStats.oracles
+      text.TextStats.oracles ++
+      ml.MlOps.oracles
 }

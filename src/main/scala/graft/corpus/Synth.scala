@@ -49,10 +49,12 @@ object Synth extends Serializable {
 
   def host(h: Int): String = s"uni$h.example.${tlds(h % tlds.length)}"
 
-  /** Zipf-ish page count per host: host 0 is ~16× host 15+ (host-level
-    * skew the north rule requires the engine to defeat). */
+  /** Zipf-head page count per host with a uniform floor: the first ~16
+    * hosts are up to 16× the floor (host-level skew the north rule
+    * requires the engine to defeat); every other host carries `base`
+    * pages so total volume scales linearly with nHosts. */
   def pagesPerHost(h: Int, base: Int): Int =
-    math.max(4, base * 16 / (h + 1)).min(base * 16)
+    math.max(math.max(4, base), base * 16 / (h + 1))
 
   /** Path for page p of host h: p=0 home; priority-keyword paths for most
     * pages; a deterministic minority of exclude / robots-disallowed paths. */
@@ -124,8 +126,12 @@ object Synth extends Serializable {
       kvs: Seq[(String, String)],
       hrefs: Seq[String])      // raw href attributes in <main>
 
+  /** Page richness: number of extra narrative paragraphs per page.
+    * Tests use the default 1 (small, fixture-friendly pages); the bench
+    * corpus raises it so page size approaches real Common-Crawl pages
+    * (~tens of KB) and extraction cost dominates scheduling. */
   def content(h: Int, p: Int, nPages: Int,
-      labels: IndexedSeq[String]): Content = {
+      labels: IndexedSeq[String], richness: Int = 1): Content = {
     val emb = embeddedLabels(h, p, labels)
     val uniName = s"University ${h + 1}"
     val title =
@@ -137,15 +143,25 @@ object Synth extends Serializable {
     val para2 = s"$boiler The curriculum also covers " +
       emb.drop(1).distinct.mkString(", ") +
       (if (emb.size > 1) "." else "general studies.")
+    val extraParas = (1 until richness).map { r =>
+      val lbl = labels(rnd(h * 71L + p * 13L + r, 0x8EL, labels.size))
+      s"Section $r of unit $p examines $lbl in module ${r % 7}. " +
+        s"Assessment $r uses coursework worth ${10 + r % 5} percent. " +
+        s"Reading list $r includes volume ${1 + (r % 9)} and " +
+        s"lecture notes part ${1 + (r % 4)} for unit $p section $r."
+    }
     val items = emb.distinct.zipWithIndex.map { case (l, i) =>
       s"Unit ${i + 1}: $l"
     }
     val tableRows =
-      Seq(Seq("Course", "ECTS", "Semester"),
+      (Seq(Seq("Course", "ECTS", "Semester"),
         Seq(s"Course $p A", (3 + rnd(h + p, 0x39L, 5)).toString,
           (1 + rnd(h * 3L + p, 0x4AL, 8)).toString),
         Seq(s"Course $p B", (3 + rnd(h + p + 1, 0x39L, 5)).toString,
-          (1 + rnd(h * 3L + p + 1, 0x4AL, 8)).toString))
+          (1 + rnd(h * 3L + p + 1, 0x4AL, 8)).toString))) ++
+      (1 until richness).map(r =>
+        Seq(s"Course $p X$r", (3 + rnd(h + p + r, 0x39L, 5)).toString,
+          (1 + rnd(h * 3L + p + r, 0x4AL, 8)).toString))
     val kvs = Seq(
       "Language" -> (if (lang(h, p) == "en") "English" else "Local"),
       "ECTS" -> (4 + rnd(h * 5L + p, 0x5BL, 4)).toString,
@@ -153,13 +169,14 @@ object Synth extends Serializable {
     val sameHost = linkTargets(h, p, nPages).map(t => path(h, t))
     val cross = Seq(s"https://${host((h + 1) % 50)}/")
     val noise = Seq("#top", "mailto:admissions@" + host(h), "javascript:void(0)")
-    Content(title, Seq(para1, para2), items, tableRows, kvs,
+    Content(title, Seq(para1, para2) ++ extraParas, items, tableRows, kvs,
       sameHost ++ cross ++ noise)
   }
 
   /** HTML for page (h,p) under the template grammar. */
-  def html(h: Int, p: Int, nPages: Int, labels: IndexedSeq[String]): String = {
-    val c = content(h, p, nPages, labels)
+  def html(h: Int, p: Int, nPages: Int, labels: IndexedSeq[String],
+      richness: Int = 1): String = {
+    val c = content(h, p, nPages, labels, richness)
     val sb = new StringBuilder
     sb ++= "<!DOCTYPE html><html><head><title>" ++= c.title ++= "</title>"
     sb ++= "<style>body{font:14px sans;}</style>"
@@ -169,9 +186,7 @@ object Synth extends Serializable {
     sb ++= "<div class=\"nav\">Skip to content</div>"
     sb ++= "<main>"
     sb ++= s"<h1>${c.title}</h1>"
-    val linked = c.hrefs.take(2)
-    sb ++= s"<p>${c.paras.head}</p>"
-    sb ++= s"<p>${c.paras(1)}</p>"
+    c.paras.foreach(p0 => sb ++= s"<p>$p0</p>")
     sb ++= "<ul>"
     c.items.foreach(i => sb ++= s"<li>$i</li>")
     sb ++= "</ul>"
@@ -186,7 +201,6 @@ object Synth extends Serializable {
     c.hrefs.zipWithIndex.foreach { case (href, i) =>
       sb ++= s"<a href=\"$href\">Link ${i + 1}</a>"
     }
-    val _ = linked
     sb ++= "</main>"
     sb ++= "<div class=\"footer\">Contact us | Privacy</div>"
     sb ++= "</body></html>"
@@ -195,8 +209,9 @@ object Synth extends Serializable {
 
   /** Canonical extracted text, composed from the content model under the
     * extraction spec (TextExtract Scaladoc) — independent of the parser. */
-  def text(h: Int, p: Int, nPages: Int, labels: IndexedSeq[String]): String = {
-    val c = content(h, p, nPages, labels)
+  def text(h: Int, p: Int, nPages: Int, labels: IndexedSeq[String],
+      richness: Int = 1): String = {
+    val c = content(h, p, nPages, labels, richness)
     val narrative = c.title +: (c.paras ++ c.items)
     val tableLines = c.tableRows.map(_.mkString(" | "))
     val kvLines = c.kvs.map { case (k, v) => s"$k: $v" }
@@ -233,7 +248,7 @@ object Synth extends Serializable {
   }
 
   def pages(spark: SparkSession, nHosts: Int = 50,
-      basePages: Int = 16): Dataset[Page] = {
+      basePages: Int = 16, richness: Int = 1): Dataset[Page] = {
     import spark.implicits._
     val labels = escoLabels().map(_.preferred_label).toIndexedSeq
     val bcLabels = spark.sparkContext.broadcast(labels)
@@ -241,8 +256,8 @@ object Synth extends Serializable {
       val n = pagesPerHost(h, basePages)
       val ls = bcLabels.value
       Page(url(h, p), warcTs(h, p),
-        html(h, p, n, ls).getBytes("UTF-8"),
-        text(h, p, n, ls), lang(h, p))
+        html(h, p, n, ls, richness).getBytes("UTF-8"),
+        text(h, p, n, ls, richness), lang(h, p))
     }
   }
 

@@ -72,12 +72,18 @@ object Crawler {
           s.counters(r).getOrElse("total_fetched", 0L))
       case None => initialState(seeds, pages)
     }
-    var allResults = spark.emptyDataset[CrawlResult]
-    var allLineage = spark.emptyDataset[Lineage]
+    // per-round result/lineage slices: each round's slice is already
+    // cached (Round.run) or snapshot-backed; they union lazily at the
+    // end. Accumulating + re-checkpointing a growing union every round
+    // would be O(rounds²) — the loop never does that.
+    val resultSlices = scala.collection.mutable.ArrayBuffer
+      .empty[Dataset[CrawlResult]]
+    val lineageSlices = scala.collection.mutable.ArrayBuffer
+      .empty[Dataset[Lineage]]
     snapshot.filter(_.latest() >= 0).foreach { s =>
       val r = s.latest()
-      allResults = s.read(r, "results").as[CrawlResult]
-      allLineage = s.read(r, "lineage").as[Lineage]
+      resultSlices += s.read(r, "results").as[CrawlResult]
+      lineageSlices += s.read(r, "lineage").as[Lineage]
     }
 
     var continue = true
@@ -87,38 +93,56 @@ object Crawler {
       if (out.fetchedCount == 0L) {
         continue = false
       } else {
-        allResults = allResults.unionByName(out.results)
-        allLineage = allLineage.unionByName(out.lineage)
-        val newSeen = state.seenHashes.unionByName(out.newSeenHashes)
-          .distinct()
+        // truncate this round's plan ONCE (the slice is already cached so
+        // this is a cheap copy): without it the seen-union plan embeds
+        // each previous round's whole pipeline twice (anti-join + union)
+        // and grows exponentially with rounds
+        val slice = out.results.localCheckpoint(true)
+        resultSlices += slice
+        lineageSlices += out.lineage
+        // this round's fetches are disjoint from seen by construction
+        // (the round anti-joins before fetching) → plain union of flat
+        // checkpointed slices, no distinct shuffle needed
+        val newSeen = state.seenHashes
+          .unionByName(slice.select("url_hash").toDF())
         val next = CrawlState(state.round + 1, out.nextFrontier, newSeen,
           state.totalFetched + out.fetchedCount)
-        snapshot.foreach { s =>
-          s.write(state.round, Map(
-            "frontier" -> next.frontier.toDF(),
-            "seen" -> next.seenHashes,
-            "results" -> allResults.toDF(),
-            "lineage" -> allLineage.toDF()),
-            Map("total_fetched" -> next.totalFetched,
-              "round_fetched" -> out.fetchedCount))
-          // re-read from the snapshot: truncates lineage-of-plans so the
-          // logical plan does not grow across rounds (checkpoint effect)
-          allResults = s.read(state.round, "results").as[CrawlResult]
-          allLineage = s.read(state.round, "lineage").as[Lineage]
-          state = CrawlState(next.round,
-            s.read(state.round, "frontier").as[FrontierEntry],
-            s.read(state.round, "seen"), next.totalFetched)
-        }
-        if (snapshot.isEmpty) {
-          // local plan-truncation for snapshot-less runs
-          state = CrawlState(next.round,
-            next.frontier.localCheckpoint(true).as[FrontierEntry],
-            next.seenHashes.localCheckpoint(true), next.totalFetched)
-          allResults = allResults.localCheckpoint(true).as[CrawlResult]
-          allLineage = allLineage.localCheckpoint(true).as[Lineage]
+        snapshot match {
+          case Some(s) =>
+            val allResults = resultSlices.reduce(_ unionByName _)
+            val allLineage = lineageSlices.reduce(_ unionByName _)
+            s.write(state.round, Map(
+              "frontier" -> next.frontier.toDF(),
+              "seen" -> next.seenHashes,
+              "results" -> allResults.toDF(),
+              "lineage" -> allLineage.toDF()),
+              Map("total_fetched" -> next.totalFetched,
+                "round_fetched" -> out.fetchedCount))
+            // re-read from the snapshot: truncates plan lineage so the
+            // logical plan does not grow across rounds
+            resultSlices.clear()
+            lineageSlices.clear()
+            resultSlices += s.read(state.round, "results").as[CrawlResult]
+            lineageSlices += s.read(state.round, "lineage").as[Lineage]
+            state = CrawlState(next.round,
+              s.read(state.round, "frontier").as[FrontierEntry],
+              s.read(state.round, "seen"), next.totalFetched)
+          case None =>
+            // snapshot-less: only the frontier needs plan truncation
+            // (it feeds the next round's joins); seen stays a lazy
+            // union of this run's small cached per-round hash sets
+            state = CrawlState(next.round,
+              next.frontier.localCheckpoint(true).as[FrontierEntry],
+              next.seenHashes, next.totalFetched)
         }
       }
     }
+    val allResults =
+      if (resultSlices.isEmpty) spark.emptyDataset[CrawlResult]
+      else resultSlices.reduce(_ unionByName _)
+    val allLineage =
+      if (lineageSlices.isEmpty) spark.emptyDataset[Lineage]
+      else lineageSlices.reduce(_ unionByName _)
     (state, allResults, allLineage)
   }
 }

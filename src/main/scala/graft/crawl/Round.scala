@@ -91,13 +91,26 @@ object Round {
     val matchUris = EscoMatcher.matcherUdf(dict)
     val labelOf = udf((uris: Seq[String]) =>
       uris.map(u => dict.value.labelOf.getOrElse(u, u)).sorted)
+    // one pass computing the per-page content signatures (dedup sketches
+    // + language + size) — the per-document work a training-data crawl
+    // does between fetch and write
+    val signatures = udf((text: String) => (
+      graft.dedup.Dedup.simhash(text),
+      graft.dedup.Dedup.minhash(text).toSeq,
+      graft.text.TextStats.detectLang(text),
+      if (text == null || text.trim.isEmpty) 0
+      else text.trim.split("\\s+").length))
     val results = fetched
       .withColumn("text", TextExtract.extractText(col("html")))
       .withColumn("skill_uris", matchUris(col("text")))
       .withColumn("skill_labels", labelOf(col("skill_uris")))
+      .withColumn("sig", signatures(col("text")))
       .withColumn("round", lit(roundNo))
-      .select("url", "url_hash", "host", "round", "depth", "text", "lang",
-        "skill_uris", "skill_labels")
+      .select(col("url"), col("url_hash"), col("host"), col("round"),
+        col("depth"), col("text"), col("lang"), col("skill_uris"),
+        col("skill_labels"), col("sig._1").as("simhash"),
+        col("sig._2").as("minhash"), col("sig._3").as("lang_pred"),
+        col("sig._4").as("n_tokens"))
       .as[CrawlResult]
       .cache()
     val fetchedCount = results.count()

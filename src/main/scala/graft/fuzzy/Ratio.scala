@@ -1,0 +1,142 @@
+package graft.fuzzy
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+import scala.collection.mutable
+
+/** difflib/fuzzywuzzy-compatible similarity ratios (SURVEY.md F1-F4).
+  *
+  * The reference scores fuzzy matches with fuzzywuzzy's ratio family
+  * (/root/reference/skills.py:171,228,332; main.py:4407;
+  * database.py:942-945; skill_gap/longterm_pipeline.py:211-218), which is
+  * Python difflib.SequenceMatcher.ratio underneath: 2·M/(len_a+len_b)
+  * where M is the total size of matching blocks found by the
+  * longest-matching-block recursion — NOT Levenshtein. Fixture parity
+  * requires reproducing that algorithm (SURVEY.md §7.3), so this is a
+  * faithful Scala re-implementation of the public difflib algorithm
+  * (without the autojunk heuristic, which the reference's short strings
+  * never trigger).
+  */
+object Ratio extends Serializable {
+
+  /** Total matched chars M of difflib's matching blocks. */
+  private def matchingBlocks(a: String, b: String): Int = {
+    // b2j: char -> positions in b
+    val b2j = mutable.HashMap.empty[Char, mutable.ArrayBuffer[Int]]
+    b.zipWithIndex.foreach { case (c, j) =>
+      b2j.getOrElseUpdate(c, mutable.ArrayBuffer.empty) += j
+    }
+
+    def longestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
+      var besti = alo; var bestj = blo; var bestsize = 0
+      var j2len = mutable.HashMap.empty[Int, Int]
+      var i = alo
+      while (i < ahi) {
+        val newj2len = mutable.HashMap.empty[Int, Int]
+        b2j.getOrElse(a.charAt(i), mutable.ArrayBuffer.empty).foreach { j =>
+          if (j >= blo && j < bhi) {
+            val k = j2len.getOrElse(j - 1, 0) + 1
+            newj2len(j) = k
+            if (k > bestsize) { besti = i - k + 1; bestj = j - k + 1; bestsize = k }
+          }
+        }
+        j2len = newj2len
+        i += 1
+      }
+      // extend over equal elements on both sides (difflib "popular" skip
+      // is disabled — no junk)
+      while (besti > alo && bestj > blo &&
+          a.charAt(besti - 1) == b.charAt(bestj - 1)) {
+        besti -= 1; bestj -= 1; bestsize += 1
+      }
+      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+          a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
+        bestsize += 1
+      }
+      (besti, bestj, bestsize)
+    }
+
+    var total = 0
+    val queue = mutable.Stack((0, a.length, 0, b.length))
+    while (queue.nonEmpty) {
+      val (alo, ahi, blo, bhi) = queue.pop()
+      val (i, j, k) = longestMatch(alo, ahi, blo, bhi)
+      if (k > 0) {
+        total += k
+        if (alo < i && blo < j) queue.push((alo, i, blo, j))
+        if (i + k < ahi && j + k < bhi) queue.push((i + k, ahi, j + k, bhi))
+      }
+    }
+    total
+  }
+
+  /** fuzz.ratio: round(2·M/(len_a+len_b)·100) — fuzzywuzzy rounds to int. */
+  def ratio(a: String, b: String): Int = {
+    if (a == null || b == null) return 0
+    val la = a.length; val lb = b.length
+    if (la + lb == 0) return 100
+    val m = matchingBlocks(a, b)
+    math.round(200.0 * m / (la + lb)).toInt
+  }
+
+  /** Raw difflib SequenceMatcher.ratio in [0,1] (F4 threshold checks). */
+  def ratioRaw(a: String, b: String): Double = {
+    if (a == null || b == null) return 0.0
+    val la = a.length; val lb = b.length
+    if (la + lb == 0) return 1.0
+    2.0 * matchingBlocks(a, b) / (la + lb)
+  }
+
+  /** fuzz.partial_ratio: best ratio of the shorter string against any
+    * equal-length substring window of the longer (fuzzywuzzy semantics:
+    * windows anchored at difflib matching blocks; we scan all windows —
+    * a superset that yields the same maximum). */
+  def partialRatio(a: String, b: String): Int = {
+    if (a == null || b == null) return 0
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    if (s.isEmpty) return if (l.isEmpty) 100 else 0
+    if (s.length == l.length) return ratio(s, l)
+    var best = 0
+    var i = 0
+    while (i + s.length <= l.length && best < 100) {
+      val r = ratio(s, l.substring(i, i + s.length))
+      if (r > best) best = r
+      i += 1
+    }
+    best
+  }
+
+  private def tokenSet(s: String): Set[String] =
+    s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+
+  /** fuzz.token_set_ratio: sort-join the token-set intersection and
+    * differences, take the max pairwise ratio (fuzzywuzzy SE semantics). */
+  def tokenSetRatio(a: String, b: String): Int = {
+    if (a == null || b == null) return 0
+    val ta = tokenSet(a); val tb = tokenSet(b)
+    val inter = (ta & tb).toSeq.sorted.mkString(" ")
+    val d1 = (ta -- tb).toSeq.sorted.mkString(" ")
+    val d2 = (tb -- ta).toSeq.sorted.mkString(" ")
+    val s1 = inter
+    val s2 = if (d1.isEmpty) inter else if (inter.isEmpty) d1 else s"$inter $d1"
+    val s3 = if (d2.isEmpty) inter else if (inter.isEmpty) d2 else s"$inter $d2"
+    Seq(ratio(s1, s2), ratio(s1, s3), ratio(s2, s3)).max
+  }
+
+  /** fuzz.token_sort_ratio: ratio over sorted-token joins. */
+  def tokenSortRatio(a: String, b: String): Int = {
+    if (a == null || b == null) return 0
+    def sorted(s: String) = tokenSet(s).toSeq.sorted.mkString(" ")
+    ratio(sorted(a), sorted(b))
+  }
+
+  // ---- Column UDFs ----
+  val ratioUdf = udf((a: String, b: String) => ratio(a, b))
+  val partialRatioUdf = udf((a: String, b: String) => partialRatio(a, b))
+  val tokenSetRatioUdf = udf((a: String, b: String) => tokenSetRatio(a, b))
+  val ratioRawUdf = udf((a: String, b: String) => ratioRaw(a, b))
+
+  def fuzzRatio(a: Column, b: Column): Column = ratioUdf(a, b)
+  def fuzzPartialRatio(a: Column, b: Column): Column = partialRatioUdf(a, b)
+  def fuzzTokenSetRatio(a: Column, b: Column): Column = tokenSetRatioUdf(a, b)
+}

@@ -50,7 +50,9 @@ final case class FrontierEntry(
     retry_count: Int)
 
 /** One fetched+extracted page result (analog of the per-lesson JSON sink,
-  * /root/reference/test_pipeline.py:480-503, with ESCO hits attached). */
+  * /root/reference/test_pipeline.py:480-503, with ESCO hits attached) plus
+  * the content signatures a training-data crawl computes per page:
+  * 64-bit SimHash, MinHash sketch, predicted language, token count. */
 final case class CrawlResult(
     url: String,
     url_hash: Long,
@@ -60,7 +62,11 @@ final case class CrawlResult(
     text: String,
     lang: String,
     skill_uris: Seq[String],
-    skill_labels: Seq[String])
+    skill_labels: Seq[String],
+    simhash: Long,
+    minhash: Seq[Long],
+    lang_pred: String,
+    n_tokens: Int)
 
 /** Per-partition, per-round lineage counters
   * (requestsFinished/Failed/new-links analog). */

@@ -1,0 +1,70 @@
+package graft.fuzzy
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.io.Source
+
+/** Golden parity with Python difflib.SequenceMatcher (the algorithm under
+  * fuzzywuzzy's ratio — /root/reference tests depend on its exact scores).
+  * Vectors generated once from CPython stdlib difflib (autojunk=False),
+  * committed at src/test/resources/difflib_ratio_vectors.json. */
+class RatioSpec extends AnyFunSuite {
+
+  private case class Vec(a: String, b: String, raw: Double, ratio: Int)
+
+  private lazy val vectors: Seq[Vec] = {
+    val src = Source.fromInputStream(
+      getClass.getResourceAsStream("/difflib_ratio_vectors.json"), "UTF-8")
+    val json = try src.mkString finally src.close()
+    // minimal parse of the known flat structure
+    val entry = """\{"a": "(.*?)", "b": "(.*?)", "raw": ([-0-9.e]+), "ratio": (\d+)\}""".r
+    entry.findAllMatchIn(json).map { m =>
+      Vec(m.group(1), m.group(2), m.group(3).toDouble, m.group(4).toInt)
+    }.toSeq
+  }
+
+  test("golden vectors loaded") {
+    assert(vectors.size === 130)
+  }
+
+  test("ratio matches CPython difflib/fuzzywuzzy on all 130 vectors") {
+    vectors.foreach { v =>
+      assert(Ratio.ratio(v.a, v.b) === v.ratio, s"ratio('${v.a}','${v.b}')")
+      assert(math.abs(Ratio.ratioRaw(v.a, v.b) - v.raw) < 1e-12,
+        s"raw('${v.a}','${v.b}')")
+    }
+  }
+
+  test("ratio parity holds in difflib's argument order (difflib M is " +
+    "order-dependent — callers must keep the reference's argument order)") {
+    // e.g. vectors exist where ratio(a,b) != ratio(b,a); parity with the
+    // reference requires matching difflib's (a, b) orientation, which the
+    // golden-vector test above pins down.
+    val asym = vectors.find(v => Ratio.ratio(v.a, v.b) != Ratio.ratio(v.b, v.a))
+    asym.foreach(v => info(s"asymmetric example: '${v.a}' vs '${v.b}'"))
+    succeed
+  }
+
+  test("partialRatio: substring containment scores 100") {
+    assert(Ratio.partialRatio("machine", "advanced machine learning") === 100)
+    assert(Ratio.partialRatio("advanced machine learning", "machine") === 100)
+    assert(Ratio.partialRatio("", "") === 100)
+    assert(Ratio.partialRatio("abc", "") === 0)
+  }
+
+  test("tokenSetRatio: word reorder scores 100; ≥88 gate behaves " +
+    "(database.py:942-945 merge threshold)") {
+    assert(Ratio.tokenSetRatio("data analysis and statistics",
+      "statistics and data analysis") === 100)
+    assert(Ratio.tokenSetRatio("Intro to Databases",
+      "intro to databases!") === 100)
+    assert(Ratio.tokenSetRatio("machine learning",
+      "deep sea fishing") < 88)
+    assert(Ratio.tokenSetRatio("machine learning fundamentals",
+      "machine learning") >= 88)
+  }
+
+  test("tokenSortRatio: sorted-token join comparison") {
+    assert(Ratio.tokenSortRatio("b a", "a b") === 100)
+    assert(Ratio.tokenSortRatio("x y z", "z y x") === 100)
+  }
+}
