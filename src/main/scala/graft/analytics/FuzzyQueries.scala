@@ -17,16 +17,43 @@ object FuzzyQueries {
     * near-duplicate course keys when token_set_ratio ≥ 88
     * (/root/reference/database.py:942-945, 1022-1071). Blocking key =
     * first token, so candidate pairs come from a co-partitioned equi
-    * join, never a cross join; the UDF scores only within blocks. */
+    * join, never a cross join; the UDF scores only within blocks.
+    *
+    * Scale shape: the UDF scores **distinct key pairs**, not row pairs —
+    * real corpora duplicate keys heavily (every "Introduction to
+    * Programming" shares one key), so row-pair scoring is O(rows²/blocks)
+    * UDF calls where distinct-pair scoring is O(keys²/blocks), and the
+    * row-level result comes back from a native equi join against the
+    * passing key pairs (output-identical; OpsSpec asserts equality with
+    * the direct row-pair formulation). */
   def fuzzyJoin(df: DataFrame, keyCol: String, idCol: String,
       threshold: Int): DataFrame = {
     val k = df.select(col(idCol).as("id"), col(keyCol).as("key"),
       split(lower(col(keyCol)), " ").getItem(0).as("block"))
-    k.alias("a").join(k.alias("b"),
-        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+    val keys = k.select(col("block"), col("key")).distinct()
+    // ordered distinct-key pairs within a block, both orientations (the
+    // row-level pair orientation is decided by id, not key) + identical
+    // keys (score 100 by definition, no UDF needed)
+    val cross = keys.alias("x").join(keys.alias("y"),
+        col("x.block") === col("y.block") && col("x.key") < col("y.key"))
       .withColumn("score",
-        Ratio.fuzzTokenSetRatio(col("a.key"), col("b.key")))
+        Ratio.fuzzTokenSetRatio(col("x.key"), col("y.key")))
       .filter(col("score") >= threshold)
+    val passing =
+      cross.select(col("x.block").as("pblock"), col("x.key").as("key_x"),
+          col("y.key").as("key_y"), col("score"))
+        .unionByName(cross.select(col("x.block").as("pblock"),
+          col("y.key").as("key_x"), col("x.key").as("key_y"), col("score")))
+        .unionByName(keys.select(col("block").as("pblock"),
+          col("key").as("key_x"), col("key").as("key_y"),
+          lit(100).as("score"))
+          .filter(lit(threshold) <= 100))
+    k.alias("a")
+      .join(broadcast(passing),
+        col("a.block") === col("pblock") && col("a.key") === col("key_x"))
+      .join(k.alias("b"),
+        col("b.block") === col("pblock") && col("b.key") === col("key_y") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.key").as("key_a"), col("b.key").as("key_b"), col("score"))
       .orderBy(col("id_a"), col("id_b"))
@@ -43,9 +70,13 @@ object FuzzyQueries {
       .select(col("p_partkey").as("probe_id"), col("p_name").as("probe"))
     val cand = p.select(col("p_partkey").as("cand_id"),
       col("p_name").as("cand"))
-    val scored = cand.crossJoin(broadcast(probe))
-      .filter(col("probe_id") =!= col("cand_id"))
+    // score distinct candidate keys × probes (the UDF-call count is
+    // keys×probes, not rows×probes), then fan back out to rows natively
+    val scoredKeys = cand.select(col("cand")).distinct()
+      .crossJoin(broadcast(probe))
       .withColumn("score", Ratio.fuzzRatio(col("probe"), col("cand")))
+    val scored = cand.join(broadcast(scoredKeys), Seq("cand"))
+      .filter(col("probe_id") =!= col("cand_id"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
     scored.withColumn("rn", row_number().over(w))

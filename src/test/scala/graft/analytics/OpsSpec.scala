@@ -19,6 +19,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy join: distinct-key scoring ≡ direct row-pair scoring") {
+    // the production path scores distinct key pairs and expands back via
+    // a native join; this is the O(rows²/blocks) reference formulation it
+    // must match row-for-row
+    val p = spark.read.parquet(s"$dir/part.parquet")
+    val k = p.select(col("p_partkey").as("id"), col("p_name").as("key"),
+      split(lower(col("p_name")), " ").getItem(0).as("block"))
+    val direct = k.alias("a").join(k.alias("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .withColumn("score",
+        Ratio.fuzzTokenSetRatio(col("a.key"), col("b.key")))
+      .filter(col("score") >= 88)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.key").as("key_a"), col("b.key").as("key_b"), col("score"))
+    val fast = FuzzyQueries.fuzzyJoin(p, "p_name", "p_partkey", 88)
+    assert(fast.exceptAll(direct).isEmpty && direct.exceptAll(fast).isEmpty)
+  }
+
   test("best-match-one: exactly one winner per probe, max score") {
     val out = FuzzyQueries.qBestMatch(spark, dir)
     val perProbe = out.groupBy("probe_id").count().collect()

@@ -1,0 +1,86 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.corpus.Synth
+import graft.frontier.Frontier
+
+/** Physical-plan assertions (SURVEY.md §4: "broadcast discipline —
+  * assert via plan check in tests"). Correctness tests prove the results;
+  * these prove the *plans* are the ones that survive a 100× scale-up:
+  * dimensions broadcast (no shuffle of the fact side against small dims),
+  * filters and projections pushed into the parquet scan, and the hot
+  * aggregation path inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("star join broadcasts all three dimension tables") {
+    val plan = planOf(Queries.qJoinStar(spark, sf))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3,
+      s"expected customer/nation/region broadcast, got $nBroadcast in:\n$plan")
+  }
+
+  test("6-table chain keeps dimension joins broadcast") {
+    val plan = planOf(Queries.qJoinChain6(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("filter + projection are pushed into the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = planOf(df)
+    assert(scan.contains("PushedFilters:") &&
+      scan.contains("GreaterThan(l_quantity"),
+      s"filter not pushed to scan:\n$scan")
+    // column pruning: the scan's ReadSchema must not include untouched
+    // wide columns like l_comment
+    val readSchema = scan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_comment"),
+      s"scan not pruned to the 2 used columns: $readSchema")
+  }
+
+  test("aggregation pipeline runs inside whole-stage codegen with " +
+      "map-side partial aggregation") {
+    val df = Queries.qAggPricing(spark, sf)
+    df.collect() // AQE only shows codegen spans in the finalized plan
+    val plan = planOf(df)
+    // codegen spans print as "*(n) Operator" in the executed-plan tree
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan)
+    // partial + final HashAggregate = map-side combine before the shuffle
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("robots gate joins the rules table broadcast (no frontier shuffle)") {
+    val pages = Synth.pages(spark, 8, 4, 3).toDF()
+    val robots = Synth.robots(spark, 8)
+    val frontier = Frontier.fromUrls(
+      pages.select(col("url"), col("warc_ts"), lit(0).as("depth")),
+      Synth.priorityKeywords, Synth.excludeKeywords)
+    val plan = planOf(Frontier.robotsGate(frontier, robots).toDF())
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("host-budget selection costs exactly one exchange on the frontier") {
+    val pages = Synth.pages(spark, 8, 4, 3).toDF()
+    val robots = Synth.robots(spark, 8)
+    val frontier = Frontier.fromUrls(
+      pages.select(col("url"), col("warc_ts"), lit(0).as("depth")),
+      Synth.priorityKeywords, Synth.excludeKeywords)
+    val (selected, _) = Frontier.selectRound(frontier, robots)
+    val plan = planOf(selected.toDF())
+    // one hash-partitioned exchange for the per-host window; budgets are
+    // broadcast so they must not add a second shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected ≤1 shuffle, got $exchanges:\n$plan")
+  }
+}
