@@ -108,19 +108,27 @@ object Queries {
   // ----------------------------------------------------------- aggregates
 
   /** A1-ish + TPC-H Q1 shape: multi-aggregate per 2-key group.
-    * Decimal casts before SUM → exact, order-independent. */
+    * Decimal casts before SUM → exact, order-independent. The final
+    * representation is pinned to DOUBLE on both engine and oracle sides:
+    * Spark's sum(decimal) result precision (28,2)/(38,4) differs from
+    * DuckDB's (38,2)/HUGEINT widening, which hash-mismatches even on
+    * equal values; the exact decimal sum → nearest-double conversion is
+    * IEEE-deterministic in both engines. */
   val qAggPricing: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") < lit("1998-09-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_base"),
         // full-precision decimal product (no per-row re-rounding: Spark
         // rounds HALF_UP, DuckDB HALF_EVEN — an inner cast would diverge)
         sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") -
-            col("l_discount").cast("decimal(18,2)"))).as("sum_disc"),
+            col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -233,25 +241,46 @@ object Queries {
       .orderBy(col("p_brand"), col("rn"))
   }
 
-  /** O2: window pagination with total order
-    * (/root/reference/main.py:4436-4440). Page 3 at 50/page. */
+  /** O2: pagination with total order
+    * (/root/reference/main.py:4436-4440). Page 3 at 50/page.
+    *
+    * Scale shape: a global un-partitioned row_number window would move
+    * the WHOLE table into one partition — the classic pagination
+    * scale-killer. Instead: global orderBy + limit(pageEnd) plans as
+    * TakeOrderedAndProject (per-partition top-k, tiny driver merge), and
+    * only the ≤ pageEnd survivors get ranked. The rank window partitions
+    * on a constant column so its partition spec is non-empty (no
+    * single-partition WindowExec over unbounded input — the input here
+    * is bounded by the limit). */
   val qPagination: Q = (s, dir) => {
     val o = t(s, dir, "orders")
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    o.withColumn("rn", row_number().over(w))
-      .filter(col("rn").between(101, 150))
+    val (pageStart, pageEnd) = (101, 150)
+    val top = o.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(pageEnd)
+      // constant-valued but non-foldable partition key (a lit() would be
+      // constant-folded back into an empty, warn-and-single-partition spec)
+      .withColumn("pg", pmod(col("o_orderkey"), lit(1)))
+    val w = Window.partitionBy(col("pg"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    top.withColumn("rn", row_number().over(w))
+      .filter(col("rn").between(pageStart, pageEnd))
       .select(col("rn"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("rn"))
   }
 
-  /** Running aggregate over event time per user (events table). */
+  /** Running aggregate over event time per user (events table).
+    * `value` is a 2-decimal double by construction, so the per-row
+    * decimal(18,2) cast is tie-free; the running sum is exact decimal
+    * and the OUTPUT is pinned to double on both sides (Spark's window
+    * sum yields decimal(28,2) vs DuckDB's (38,2) — equal values,
+    * different serialized scale → hash mismatch without the cast). */
   val qEventsRunning: Q = (s, dir) => {
     val e = t(s, dir, "events")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("running_value",
-        sum(col("value").cast("decimal(18,2)")).over(w))
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
       .withColumn("event_seq", row_number().over(
         Window.partitionBy(col("user_id"))
           .orderBy(col("ts").asc, col("event_id").asc)))
@@ -412,11 +441,12 @@ object Queries {
         |GROUP BY n_name, p_brand ORDER BY n_name, p_brand""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_base,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-        |   AS sum_disc,
+        |   AS DOUBLE) AS sum_disc,
         | count(*) AS n_rows
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
@@ -490,10 +520,10 @@ object Queries {
     "q_events_running" ->
       """SELECT user_id,
         | row_number() OVER w AS event_seq, event_id,
-        | sum(CAST(value AS DECIMAL(18,2))) OVER
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
         |   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |   AS running_value
+        |   AS DOUBLE) AS running_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |ORDER BY user_id, event_seq""".stripMargin,

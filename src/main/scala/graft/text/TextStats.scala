@@ -140,7 +140,7 @@ object TextStats {
         |FROM d ORDER BY doc_id""".stripMargin,
     "q_lang_dist" ->
       """SELECT lang, source, count(*) AS n_docs,
-        | sum(n_chars) AS total_chars
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
     "q_doc_fingerprint" ->

@@ -16,8 +16,17 @@ class PlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def planOf(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.executedPlan.toString
+  /** Finalized physical plan: AQE only commits runtime join conversions
+    * (and prints codegen spans) after execution, so every plan assertion
+    * runs against the executed (isFinalPlan=true) tree, not the initial
+    * estimate. */
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    // AdaptiveSparkPlan prints the final plan followed by the initial
+    // estimate — keep only the final section so operator counts aren't
+    // doubled by the pre-AQE tree
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
 
   test("star join broadcasts all three dimension tables") {
     val plan = planOf(Queries.qJoinStar(spark, sf))
@@ -68,6 +77,22 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(Frontier.robotsGate(frontier, robots).toDF())
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("no SparkEntry query plans an un-partitioned global window") {
+    // A Window with an empty partitionSpec moves its whole input into ONE
+    // partition — the single clearest scale-killer a query surface can
+    // hide (pagination is the classic offender). Assert none survives
+    // optimization in any published query.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans a global un-partitioned window:\n${bad.mkString}")
+    }
   }
 
   test("host-budget selection costs exactly one exchange on the frontier") {

@@ -19,16 +19,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def normalize(df):
     import pandas as pd  # noqa
     df = df.reindex(sorted(df.columns), axis=1)
+    kinds = {c: df[c].dtype.kind for c in df.columns}
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         else:
             try:
-                df[c] = df[c].astype(float).round(6)
+                # exact values, NO rounding: the driver hashes raw values,
+                # so a last-ulp or scale drift must fail here too
+                df[c] = df[c].astype(float)
             except (ValueError, TypeError):
                 df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+    return df, kinds
 
 
 def main(out_dir, sf_dir):
@@ -43,10 +46,15 @@ def main(out_dir, sf_dir):
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.execute(sql).df()
-            g, w = normalize(got), normalize(want)
+            (g, gk), (w, wk) = normalize(got), normalize(want)
             if list(g.columns) != list(w.columns):
                 print(f"FAIL {name}: columns {list(g.columns)} "
                       f"vs {list(w.columns)}")
+                n_fail += 1
+            elif gk != wk:
+                # int64 vs HUGEINT(object)/float, decimal-vs-double etc.
+                # serialize differently under the driver's value hash
+                print(f"FAIL {name}: dtype kinds {gk} vs {wk}")
                 n_fail += 1
             elif len(g) != len(w):
                 print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
