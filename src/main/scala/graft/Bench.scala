@@ -59,16 +59,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // two passes: cold (includes Catalyst/janino/JIT warmup — comparable
+    // to earlier rounds) and warm (steady-state per-query cost — the
+    // number round-over-round deltas should be read from)
     val results = runQueries(spark, sfDir)
+    val warm = runQueries(spark, sfDir)
     val (fetched, crawlSecs) = runCrawl(spark)
     val crawlRate = fetched / crawlSecs
 
-    val qs = results.toSeq.sortBy(_._1)
+    def fmt(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum + crawlSecs
+    val warmTotal = warm.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"crawl_urls_per_sec":$crawlRate,""" +
+      s""""queries":${fmt(results)},"queries_warm":${fmt(warm)},""" +
+      s""""warm_total":$warmTotal,"crawl_urls_per_sec":$crawlRate,""" +
       s""""crawl_fetched":$fetched,"crawl_secs":$crawlSecs,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -57,7 +57,8 @@ object Crawler {
       maxRounds: Int = 50,
       roundMs: Long = 4000L,
       snapshot: Option[Snapshot] = None,
-      bloomPrefilter: Boolean = false)
+      bloomPrefilter: Boolean = false,
+      bloomCopartition: Boolean = false)
       (implicit spark: SparkSession)
       : (CrawlState, Dataset[CrawlResult], Dataset[Lineage]) = {
     import spark.implicits._
@@ -89,8 +90,9 @@ object Crawler {
     var continue = true
     while (continue && state.round < maxRounds) {
       val out = Round.run(pages, robots, state.frontier, state.seenHashes,
-        dict, state.round, roundMs, bloomPrefilter)
+        dict, state.round, roundMs, bloomPrefilter, bloomCopartition)
       if (out.fetchedCount == 0L) {
+        out.release()
         continue = false
       } else {
         // truncate this round's plan ONCE (the slice is already cached so
@@ -135,6 +137,9 @@ object Crawler {
               next.frontier.localCheckpoint(true).as[FrontierEntry],
               next.seenHashes, next.totalFetched)
         }
+        // everything derived from this round's caches (results slice,
+        // next frontier) is materialized above — release them now
+        out.release()
       }
     }
     val allResults =

@@ -36,7 +36,14 @@ object Round {
       nextFrontier: Dataset[FrontierEntry],
       newSeenHashes: DataFrame, // url_hash: Long of this round's fetches
       lineage: Dataset[Lineage],
-      fetchedCount: Long)
+      fetchedCount: Long,
+      caches: Seq[DataFrame]) {
+    /** Release this round's intermediate caches. Call once everything
+      * derived from them (nextFrontier, results slice) is materialized —
+      * a 60-round crawl would otherwise hold ~2 cached plans with html
+      * binaries per round for the whole run. */
+    def release(): Unit = caches.foreach(_.unpersist())
+  }
 
   def run(
       pages: DataFrame, // the corpus: url, warc_ts, html, text, lang
@@ -46,18 +53,23 @@ object Round {
       dict: Broadcast[EscoMatcher.Dict],
       roundNo: Int,
       roundMs: Long = 4000L,
-      bloomPrefilter: Boolean = false)
+      bloomPrefilter: Boolean = false,
+      bloomCopartition: Boolean = false)
       (implicit spark: SparkSession): Output = {
     import spark.implicits._
 
-    // 1. dedup against the seen set. Bloom prefilters map-side (no
-    //    shuffle on the frontier); the exact anti-join guarantees no
-    //    double-fetch even on Bloom false negatives (there are none) —
-    //    at full scale the Bloom pass removes ~all matches first.
+    // 1. dedup against the seen set. Bloom prefilters first (broadcast
+    //    layout = map-side, no frontier shuffle; co-partitioned layout =
+    //    one frontier shuffle, no driver collect — the 10^10-scale path);
+    //    the exact anti-join guarantees no double-fetch even on Bloom
+    //    false negatives (there are none) — at full scale the Bloom pass
+    //    removes ~all matches first.
     val prefiltered =
       if (bloomPrefilter) {
         val shards = BloomShard.build(seenHashes)
-        BloomShard.filterUnseen(frontier.toDF(), shards)
+        if (bloomCopartition)
+          BloomShard.filterUnseenCopartitioned(frontier.toDF(), shards)
+        else BloomShard.filterUnseen(frontier.toDF(), shards)
       } else frontier.toDF()
     val unseen = prefiltered
       .join(seenHashes, Seq("url_hash"), "left_anti")
@@ -66,7 +78,8 @@ object Round {
 
     // 2. robots + politeness budget selection
     val gated = Frontier.robotsGate(unseen, robots)
-    val (selected, deferred) = Frontier.selectRound(gated, robots, roundMs)
+    val (selected, deferred, rankedCache) =
+      Frontier.selectRound(gated, robots, roundMs)
 
     // 3. "fetch" = join the corpus (the synthesized pages table IS the
     //    web; SURVEY.md S1). Misses (dangling links) retry up to the cap.
@@ -113,7 +126,26 @@ object Round {
         col("sig._4").as("n_tokens"))
       .as[CrawlResult]
       .cache()
-    val fetchedCount = results.count()
+
+    // per-partition lineage counters (SDK_CRAWLER_STATISTICS analog).
+    // Collecting them (≤ one row per partition) IS the round's single
+    // materializing action: it populates the results cache, yields
+    // fetchedCount for free (no separate count() job), and returns the
+    // lineage as a LocalRelation with no plan tie to the caches below.
+    val lineageRows = results.toDF()
+      .withColumn("partition_id", spark_partition_id())
+      .groupBy(col("partition_id"))
+      .agg(count(lit(1)).as("fetch_count"),
+        sum(when(length(col("text")) > 0, 1).otherwise(0)).as("extract_count"),
+        sum(size(col("skill_uris"))).as("skill_hits"))
+      .withColumn("round", lit(roundNo))
+      .withColumn("new_links", lit(0L)) // patched by caller with count
+      .select("round", "partition_id", "fetch_count", "extract_count",
+        "new_links", "skill_hits")
+      .as[Lineage]
+      .collect()
+    val lineage = spark.createDataset(lineageRows.toSeq)
+    val fetchedCount = lineageRows.map(_.fetch_count).sum
 
     // 5. link scrape → new frontier candidates (same-host only,
     //    apify.js:156-163), depth+1, dedup'd against seen ∪ this round.
@@ -126,10 +158,13 @@ object Round {
       .filter(col("url").startsWith("http"))
       .filter(Canonical.urlHost(col("url")) === col("src_host"))
       .select(col("url"), col("warc_ts"), (col("depth") + 1).as("depth"))
+    // one fused anti-join against (seen ∪ this round's fetches) — two
+    // separate anti-joins would shuffle the candidate set twice; the
+    // union side is hash-partitioned once instead
     val candidates = Frontier.fromUrls(rawLinks,
         Synthesized.priorityKeywords, Synthesized.excludeKeywords)
-      .join(seenHashes, Seq("url_hash"), "left_anti")
-      .join(results.select("url_hash"), Seq("url_hash"), "left_anti")
+      .join(seenHashes.unionByName(results.select("url_hash").toDF()),
+        Seq("url_hash"), "left_anti")
       .select(Frontier.Cols.map(col): _*)
       .as[FrontierEntry]
 
@@ -137,21 +172,8 @@ object Round {
       deferred.toDF().unionByName(missed.toDF()).as[FrontierEntry],
       candidates)
 
-    // 6. per-partition lineage counters (SDK_CRAWLER_STATISTICS analog)
-    val lineage = results
-      .withColumn("partition_id", spark_partition_id())
-      .groupBy(col("partition_id"))
-      .agg(count(lit(1)).as("fetch_count"),
-        sum(when(length(col("text")) > 0, 1).otherwise(0)).as("extract_count"),
-        sum(size(col("skill_uris"))).as("skill_hits"))
-      .withColumn("round", lit(roundNo))
-      .withColumn("new_links", lit(0L)) // patched by caller with count
-      .select("round", "partition_id", "fetch_count", "extract_count",
-        "new_links", "skill_hits")
-      .as[Lineage]
-
     Output(results, nextFrontier, results.select("url_hash").toDF(),
-      lineage, fetchedCount)
+      lineage, fetchedCount, Seq(fetched, results.toDF(), rankedCache))
   }
 
   /** Keyword lists used for candidate scoring — the corpus generator and

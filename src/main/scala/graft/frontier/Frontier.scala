@@ -101,11 +101,15 @@ object Frontier {
 
   /** Select this round's fetch set: deterministic frontier order
     * (priority desc, warc_ts, url) within each host, capped at the host's
-    * budget. Returns (selected, deferred). One shuffle (the window). */
+    * budget. Returns (selected, deferred, cacheHandle). One shuffle (the
+    * window); the ranked intermediate is cached because both outputs read
+    * it — the CALLER must unpersist the handle once selected/deferred are
+    * materialized, or a multi-round crawl accumulates one cached frontier
+    * per round. */
   def selectRound(frontier: Dataset[FrontierEntry],
       robots: Dataset[RobotsRule], roundMs: Long = 4000L)
       (implicit spark: SparkSession)
-      : (Dataset[FrontierEntry], Dataset[FrontierEntry]) = {
+      : (Dataset[FrontierEntry], Dataset[FrontierEntry], DataFrame) = {
     import spark.implicits._
     val w = Window.partitionBy(col("host"))
       .orderBy(col("priority").desc, col("warc_ts").asc, col("url").asc)
@@ -121,19 +125,30 @@ object Frontier {
       .select(Cols.map(col): _*).as[FrontierEntry]
     val deferred = ranked.filter(col("rank") > col("host_budget"))
       .select(Cols.map(col): _*).as[FrontierEntry]
-    (selected, deferred)
+    (selected, deferred, ranked)
   }
 
-  /** Merge new candidates into the frontier: union + first-wins dedup on
-    * url_hash with deterministic preference (lowest depth, then url). */
+  /** Merge new candidates into the frontier: union + dedup on url_hash
+    * with deterministic preference (lowest depth, then url, then the
+    * remaining fields lexicographically — fully deterministic even when
+    * one url is discovered twice in a round).
+    *
+    * Implemented as `groupBy(url_hash).agg(min(struct(...)))` rather than
+    * a row_number window: a hash aggregate gets map-side partial
+    * aggregation (each map task pre-dedups before the shuffle), while a
+    * sort-window must shuffle every row — at 10^10 frontier rows that is
+    * a materially smaller exchange. */
   def merge(a: Dataset[FrontierEntry], b: Dataset[FrontierEntry])
       (implicit spark: SparkSession): Dataset[FrontierEntry] = {
     import spark.implicits._
-    val w = Window.partitionBy(col("url_hash"))
-      .orderBy(col("depth").asc, col("url").asc)
     a.toDF().unionByName(b.toDF())
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("url_hash"))
+      .agg(min(struct(col("depth"), col("url"), col("warc_ts"),
+        col("priority"), col("retry_count"), col("host"))).as("w"))
+      .select(col("w.url").as("url"), col("url_hash"),
+        col("w.host").as("host"), col("w.priority").as("priority"),
+        col("w.warc_ts").as("warc_ts"), col("w.depth").as("depth"),
+        col("w.retry_count").as("retry_count"))
       .select(Cols.map(col): _*)
       .as[FrontierEntry]
   }

@@ -123,10 +123,11 @@ object BloomShard {
     }.map(_._2)
   }
 
-  /** Membership prefilter: broadcast all shards to executors, keep rows
-    * whose hash is NOT maybe-in the filter. At full scale shards are
-    * co-partitioned with the frontier instead of broadcast whole; in both
-    * layouts this is a map-side filter with no shuffle on the big side. */
+  /** Membership prefilter, broadcast layout: collect+broadcast all shards,
+    * keep rows whose hash is NOT maybe-in the filter. Right shape when the
+    * whole filter fits comfortably in executor memory (small shard counts);
+    * at north-rule scale (4096 × ~3 MiB ≈ 12 GiB) the driver collect is the
+    * bottleneck — use [[filterUnseenCopartitioned]] there. */
   def filterUnseen(frontier: DataFrame, shards: Dataset[SeenShard],
       p: Params = testParams)(implicit spark: SparkSession): DataFrame = {
     val shardMap: Map[Int, Array[Long]] =
@@ -139,5 +140,38 @@ object BloomShard {
       }
     }
     frontier.filter(unseen(col("url_hash")))
+  }
+
+  /** Membership prefilter, co-partitioned layout (the 10^10-scale path):
+    * typed cogroup of the frontier and the shard table on
+    * `shard_id = pmod(url_hash, numShards)`. One hash shuffle of the
+    * frontier, a tiny shuffle of the shards, NO driver collect and no
+    * whole-filter broadcast — each task deserializes exactly the one
+    * shard its rows hash to. (A plain equi-join would copy the multi-MiB
+    * bits column onto every frontier row; the cogroup touches it once per
+    * group.) Output rows and schema are identical to [[filterUnseen]]
+    * (property-tested in FiltersSpec). */
+  def filterUnseenCopartitioned(frontier: DataFrame,
+      shards: Dataset[SeenShard], p: Params = testParams)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val withSid = frontier.withColumn("__sid",
+      pmod(col("url_hash"), lit(p.numShards.toLong)).cast("int"))
+    val rowEnc = org.apache.spark.sql.Encoders.row(withSid.schema)
+    val sidIdx = withSid.schema.fieldIndex("__sid")
+    val hashIdx = withSid.schema.fieldIndex("url_hash")
+    val keyed = withSid.groupByKey(_.getInt(sidIdx))(
+      org.apache.spark.sql.Encoders.scalaInt)
+    val shardKeyed = shards.groupByKey(_.shard_id)
+    val m = p.bitsPerShard; val k = p.k
+    val filtered = keyed.cogroup(shardKeyed) { (_, rows, sh) =>
+      sh.toSeq.headOption match {
+        case None => rows
+        case Some(shard) =>
+          val bits = fromBytes(shard.bits)
+          rows.filter(r => !mightContain(bits, r.getLong(hashIdx), m, k))
+      }
+    }(rowEnc)
+    filtered.toDF().drop("__sid")
   }
 }

@@ -101,7 +101,7 @@ class PlanSpec extends SparkSpec {
     val frontier = Frontier.fromUrls(
       pages.select(col("url"), col("warc_ts"), lit(0).as("depth")),
       Synth.priorityKeywords, Synth.excludeKeywords)
-    val (selected, _) = Frontier.selectRound(frontier, robots)
+    val (selected, _, _) = Frontier.selectRound(frontier, robots)
     val plan = planOf(selected.toDF())
     // one hash-partitioned exchange for the per-host window; budgets are
     // broadcast so they must not add a second shuffle

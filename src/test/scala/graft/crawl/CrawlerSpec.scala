@@ -129,6 +129,16 @@ class CrawlerSpec extends SparkSpec {
       r1.select("url").collect().map(_.getString(0)).toSet)
   }
 
+  test("co-partitioned bloom prefilter produces the same crawl as exact") {
+    val (s1, r1, _) = full
+    val (s4, r4, _) = Crawler.crawl(pages, robots, seeds, dictLabels,
+      maxRounds = 40, roundMs = 4000L, bloomPrefilter = true,
+      bloomCopartition = true)(spark)
+    assert(s4.totalFetched === s1.totalFetched)
+    assert(r4.select("url").collect().map(_.getString(0)).toSet ===
+      r1.select("url").collect().map(_.getString(0)).toSet)
+  }
+
   test("bloom shard build over Spark: no false negatives, unseen pass") {
     import spark.implicits._
     val hashes = (1L to 500L).map(i =>

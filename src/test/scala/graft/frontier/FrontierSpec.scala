@@ -28,7 +28,7 @@ class FrontierSpec extends SparkSpec {
     // crawl_delay 2000ms, round 4000ms → budget 2 per host
     val robots = Seq(RobotsRule("a.edu", Nil, 2000),
       RobotsRule("b.edu", Nil, 2000)).toDS()
-    val (sel, deferred) = Frontier.selectRound(f, robots, 4000L)
+    val (sel, deferred, _) = Frontier.selectRound(f, robots, 4000L)
     val a = sel.filter(col("host") === "a.edu").collect()
       .sortBy(e => (-e.priority, e.warc_ts.getTime, e.url)).map(_.url)
     // priority-1 rows win; among them earlier warc_ts first
@@ -43,7 +43,7 @@ class FrontierSpec extends SparkSpec {
     val f = entries(Seq(
       ("https://c.edu/x1", 0, 1L, 0), ("https://c.edu/x2", 0, 2L, 0)))
     val robots = spark.emptyDataset[RobotsRule]
-    val (sel, _) = Frontier.selectRound(f, robots, 4000L)
+    val (sel, _, _) = Frontier.selectRound(f, robots, 4000L)
     assert(sel.count() === 1)
   }
 

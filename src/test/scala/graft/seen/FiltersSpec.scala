@@ -8,6 +8,30 @@ class FiltersSpec extends AnyFunSuite {
   private def hashes(n: Int, salt: String = ""): Seq[Long] =
     (0 until n).map(i => Canonical.hash64(s"https://u$salt$i.edu/p$i"))
 
+  test("bloom: co-partitioned filterUnseen ≡ broadcast filterUnseen, " +
+      "via cogroup (no driver collect of shards)") {
+    implicit val spark: org.apache.spark.sql.SparkSession =
+      graft.SparkSpec.session
+    import spark.implicits._
+    val seen = hashes(2000).toDF("url_hash")
+    val shards = BloomShard.build(seen).cache()
+    val probe = (hashes(1500) ++ hashes(1500, "z")) // half seen, half new
+      .zipWithIndex.toDF("url_hash", "rowid")
+    val viaBroadcast = BloomShard.filterUnseen(probe, shards)
+    val viaCogroup = BloomShard.filterUnseenCopartitioned(probe, shards)
+    assert(viaCogroup.columns.toSeq === viaBroadcast.columns.toSeq)
+    assert(viaCogroup.exceptAll(viaBroadcast).isEmpty &&
+      viaBroadcast.exceptAll(viaCogroup).isEmpty)
+    // every truly-seen hash must be filtered (no false negatives)
+    val kept = viaCogroup.select("url_hash").as[Long].collect().toSet
+    assert(hashes(1500).forall(h => !kept.contains(h)))
+    // the scale property: the plan cogroups — no collect-and-broadcast
+    viaCogroup.collect()
+    val plan = viaCogroup.queryExecution.executedPlan.toString
+    assert(plan.contains("CoGroup"), plan)
+    shards.unpersist()
+  }
+
   test("bloom: no false negatives (the scale-free guarantee)") {
     val m = 1 << 16
     val k = 7
