@@ -25,7 +25,12 @@ object FuzzyQueries {
     * UDF calls where distinct-pair scoring is O(keys²/blocks), and the
     * row-level result comes back from a native equi join against the
     * passing key pairs (output-identical; OpsSpec asserts equality with
-    * the direct row-pair formulation). */
+    * the direct row-pair formulation).
+    *
+    * Orientation: difflib-style ratios are NOT symmetric in tie cases
+    * (RatioSpec pins a counterexample), so each unordered pair is scored
+    * exactly once in canonical (min,max) key order — the defined
+    * semantics of this join. */
   def fuzzyJoin(df: DataFrame, keyCol: String, idCol: String,
       threshold: Int): DataFrame = {
     val k = df.select(col(idCol).as("id"), col(keyCol).as("key"),
@@ -48,8 +53,11 @@ object FuzzyQueries {
           col("key").as("key_x"), col("key").as("key_y"),
           lit(100).as("score"))
           .filter(lit(threshold) <= 100))
+    // no forced broadcast hint: |passing| grows with the distinct-key
+    // count, so a static hint could exhaust memory at scale — AQE
+    // converts the join to broadcast at runtime whenever it IS small
     k.alias("a")
-      .join(broadcast(passing),
+      .join(passing,
         col("a.block") === col("pblock") && col("a.key") === col("key_x"))
       .join(k.alias("b"),
         col("b.block") === col("pblock") && col("b.key") === col("key_y") &&
@@ -63,26 +71,102 @@ object FuzzyQueries {
     fuzzyJoin(t(s, dir, "part"), "p_name", "p_partkey", 88)
 
   /** W4: best-match-one — keep only the single highest-scoring match per
-    * query key (/root/reference/skills.py:312-324 max-by-score winner). */
+    * query key (/root/reference/skills.py:312-324 max-by-score winner).
+    *
+    * Shape: (1) score distinct candidate keys × probes (UDF-call count =
+    * keys×probes, never rows×probes); (2) pick winners at KEY level —
+    * dense_rank keeps only the top-2 score levels per probe over the
+    * small keys×probes set; (3) fan ONLY the winning keys back out to
+    * rows and rank the tiny survivor set. Ranking all expanded rows
+    * (rows×probes) was the previous bottleneck — a 9 s window over 800k
+    * rows at sf0.1 that this formulation never materializes.
+    *
+    * Two key levels are always sufficient: the row-level winner differs
+    * from the key-level argmax only when a top key's single row is the
+    * probe itself, and the probe excludes exactly ONE row overall. Null
+    * candidate names are dropped up front (a null key can never beat a
+    * real score; Ratio.ratio(null,·)=0). */
   val qBestMatch: (SparkSession, String) => DataFrame = (s, dir) => {
     val p = t(s, dir, "part")
     val probe = p.filter(col("p_partkey") % 50 === 0)
       .select(col("p_partkey").as("probe_id"), col("p_name").as("probe"))
-    val cand = p.select(col("p_partkey").as("cand_id"),
-      col("p_name").as("cand"))
-    // score distinct candidate keys × probes (the UDF-call count is
-    // keys×probes, not rows×probes), then fan back out to rows natively
+    val cand = p.filter(col("p_name").isNotNull)
+      .select(col("p_partkey").as("cand_id"), col("p_name").as("cand"))
     val scoredKeys = cand.select(col("cand")).distinct()
-      .crossJoin(broadcast(probe))
+      .crossJoin(probe)
       .withColumn("score", Ratio.fuzzRatio(col("probe"), col("cand")))
-    val scored = cand.join(broadcast(scoredKeys), Seq("cand"))
-      .filter(col("probe_id") =!= col("cand_id"))
+    val wKeys = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc)
+    val topKeys = scoredKeys
+      .withColumn("lvl", dense_rank().over(wKeys))
+      .filter(col("lvl") <= 2)
+      .drop("lvl", "probe")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
-    scored.withColumn("rn", row_number().over(w))
+    cand.join(topKeys, Seq("cand"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("probe_id"), col("cand_id"), col("score"))
       .orderBy(col("probe_id"))
+  }
+
+  /** Theme search — the reference's #3 traced entry point
+    * (/root/reference/main.py:4395-4450, SURVEY.md §3.3): build a
+    * lowercase text blob per course group, score every keyword with
+    * fuzz.partial_ratio against the blob, keep courses passing the
+    * threshold under logic=all (array_min) | any (array_max), sort by
+    * (-score, uni, course), paginate, and expose per-keyword scores.
+    *
+    * Scale shape: partial_ratio is a UDF, so it scores DISTINCT blobs
+    * only (same distinct-key discipline as fuzzyJoin — duplicated blobs
+    * are scored once and expanded back natively); pagination uses the
+    * scale-safe orderBy+limit pattern, never a global window; the
+    * keyword array is a column literal, so all per-keyword scores come
+    * from ONE pass over the blob column. */
+  def themeSearch(blobs: DataFrame, keywords: Seq[String], logic: String,
+      threshold: Int, page: Int, perPage: Int): DataFrame = {
+    require(logic == "all" || logic == "any", s"logic=$logic")
+    val kws = keywords.map(_.toLowerCase)
+    val distinctBlobs = blobs.select(col("blob")).distinct()
+      .withColumn("kw_scores", array(kws.map(kw =>
+        Ratio.fuzzPartialRatio(lit(kw), lower(col("blob")))): _*))
+      .withColumn("score",
+        if (logic == "all") array_min(col("kw_scores"))
+        else array_max(col("kw_scores")))
+    val scored = blobs.join(distinctBlobs, Seq("blob"))
+      .filter(col("score") >= threshold)
+    val (start, end) = ((page - 1) * perPage + 1, page * perPage)
+    val top = scored
+      .orderBy(col("score").desc, col("uni").asc, col("course").asc)
+      .limit(end)
+      // non-foldable constant partition key: see qPagination
+      .withColumn("pg", pmod(length(col("uni")), lit(1)))
+    val w = Window.partitionBy(col("pg"))
+      .orderBy(col("score").desc, col("uni").asc, col("course").asc)
+    top.withColumn("rn", row_number().over(w))
+      .filter(col("rn").between(start, end))
+      .select(col("rn"), col("uni"), col("course"), col("score"),
+        col("kw_scores"))
+      .orderBy(col("rn"))
+  }
+
+  /** q_theme_search over testdata: "university" = nation, "course" = an
+    * order, blob = the order's sorted distinct part names (the reference
+    * blob is the course's titles+skills text, main.py:4395-4402). */
+  val qThemeSearch: (SparkSession, String) => DataFrame = (s, dir) => {
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    val p = t(s, dir, "part")
+    val blobs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("uni"), col("o_orderkey").as("course"))
+      .agg(concat_ws(" ",
+        array_sort(collect_set(lower(col("p_name"))))).as("blob"))
+    themeSearch(blobs, Seq("green", "steel"), "any",
+      threshold = 60, page = 1, perPage = 25)
   }
 
   /** A8: per-group keyword-area coverage — % of groups whose member set
@@ -125,6 +209,7 @@ object FuzzyQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_best_match" -> qBestMatch,
+    "q_theme_search" -> qThemeSearch,
     "q_area_coverage" -> qAreaCoverage,
     "q_nested_groups" -> qNestedGroups)
 

@@ -70,13 +70,16 @@ object Ratio extends Serializable {
     total
   }
 
-  /** fuzz.ratio: round(2·M/(len_a+len_b)·100) — fuzzywuzzy rounds to int. */
+  /** fuzz.ratio: round(2·M/(len_a+len_b)·100) — fuzzywuzzy rounds via
+    * Python round(), which is round-half-to-EVEN on exact .5 (e.g.
+    * 12.5 → 12); math.rint has exactly those semantics, math.round
+    * (half-up) does not. Pinned by the token_sort golden vectors. */
   def ratio(a: String, b: String): Int = {
     if (a == null || b == null) return 0
     val la = a.length; val lb = b.length
     if (la + lb == 0) return 100
     val m = matchingBlocks(a, b)
-    math.round(200.0 * m / (la + lb)).toInt
+    math.rint(200.0 * m / (la + lb)).toInt
   }
 
   /** Raw difflib SequenceMatcher.ratio in [0,1] (F4 threshold checks). */
@@ -109,6 +112,9 @@ object Ratio extends Serializable {
   private def tokenSet(s: String): Set[String] =
     s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
 
+  private def tokenList(s: String): Seq[String] =
+    s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
   /** fuzz.token_set_ratio: sort-join the token-set intersection and
     * differences, take the max pairwise ratio (fuzzywuzzy SE semantics). */
   def tokenSetRatio(a: String, b: String): Int = {
@@ -123,20 +129,25 @@ object Ratio extends Serializable {
     Seq(ratio(s1, s2), ratio(s1, s3), ratio(s2, s3)).max
   }
 
-  /** fuzz.token_sort_ratio: ratio over sorted-token joins. */
+  /** fuzz.token_sort_ratio: ratio over sorted-token joins. Unlike
+    * token_set_ratio this KEEPS duplicate tokens (fuzzywuzzy sorts the
+    * token list, it does not set-dedup it) — "big big data" vs "big data"
+    * must not score 100. Golden-tested against CPython difflib. */
   def tokenSortRatio(a: String, b: String): Int = {
     if (a == null || b == null) return 0
-    def sorted(s: String) = tokenSet(s).toSeq.sorted.mkString(" ")
-    ratio(sorted(a), sorted(b))
+    def sortedJoin(s: String) = tokenList(s).sorted.mkString(" ")
+    ratio(sortedJoin(a), sortedJoin(b))
   }
 
   // ---- Column UDFs ----
   val ratioUdf = udf((a: String, b: String) => ratio(a, b))
   val partialRatioUdf = udf((a: String, b: String) => partialRatio(a, b))
   val tokenSetRatioUdf = udf((a: String, b: String) => tokenSetRatio(a, b))
+  val tokenSortRatioUdf = udf((a: String, b: String) => tokenSortRatio(a, b))
   val ratioRawUdf = udf((a: String, b: String) => ratioRaw(a, b))
 
   def fuzzRatio(a: Column, b: Column): Column = ratioUdf(a, b)
   def fuzzPartialRatio(a: Column, b: Column): Column = partialRatioUdf(a, b)
   def fuzzTokenSetRatio(a: Column, b: Column): Column = tokenSetRatioUdf(a, b)
+  def fuzzTokenSortRatio(a: Column, b: Column): Column = tokenSortRatioUdf(a, b)
 }

@@ -26,10 +26,14 @@ class OpsSpec extends SparkSpec {
     val p = spark.read.parquet(s"$dir/part.parquet")
     val k = p.select(col("p_partkey").as("id"), col("p_name").as("key"),
       split(lower(col("p_name")), " ").getItem(0).as("block"))
+    // canonical (min,max) key orientation: difflib ratios are asymmetric
+    // in tie cases (RatioSpec), so the defined semantics score each
+    // unordered key pair once in lexicographic order
     val direct = k.alias("a").join(k.alias("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .withColumn("score",
-        Ratio.fuzzTokenSetRatio(col("a.key"), col("b.key")))
+      .withColumn("score", Ratio.fuzzTokenSetRatio(
+        least(col("a.key"), col("b.key")),
+        greatest(col("a.key"), col("b.key"))))
       .filter(col("score") >= 88)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.key").as("key_a"), col("b.key").as("key_b"), col("score"))
@@ -41,6 +45,64 @@ class OpsSpec extends SparkSpec {
     val out = FuzzyQueries.qBestMatch(spark, dir)
     val perProbe = out.groupBy("probe_id").count().collect()
     assert(perProbe.forall(_.getLong(1) === 1L))
+  }
+
+  test("best-match-one: key-level pruning ≡ full row-level ranking") {
+    // the production path ranks only the top-2 key score levels; this is
+    // the exhaustive rows×probes formulation it must match exactly
+    val p = spark.read.parquet(s"$dir/part.parquet")
+    val probe = p.filter(col("p_partkey") % 50 === 0)
+      .select(col("p_partkey").as("probe_id"), col("p_name").as("probe"))
+    val cand = p.filter(col("p_name").isNotNull)
+      .select(col("p_partkey").as("cand_id"), col("p_name").as("cand"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    val direct = cand.crossJoin(probe)
+      .withColumn("score", Ratio.fuzzRatio(col("probe"), col("cand")))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("cand_id"), col("score"))
+    val fast = FuzzyQueries.qBestMatch(spark, dir)
+    assert(fast.exceptAll(direct).isEmpty && direct.exceptAll(fast).isEmpty)
+  }
+
+  test("theme search: per-keyword scores ARE partialRatio, logic=all|any " +
+      "aggregates them, pagination ranks are dense from 1") {
+    import spark.implicits._
+    val blobs = Seq(
+      ("uni_a", 1L, "advanced machine learning and statistics"),
+      ("uni_a", 2L, "intro to databases"),
+      ("uni_b", 3L, "machine learning fundamentals"),
+      ("uni_b", 4L, "organic chemistry lab")
+    ).toDF("uni", "course", "blob")
+    val kws = Seq("machine learning", "statistics")
+    val any = FuzzyQueries.themeSearch(blobs, kws, "any", 80, 1, 10)
+      .collect()
+    any.foreach { r =>
+      val blob = blobs.filter(col("course") === r.getAs[Long]("course"))
+        .head.getString(2)
+      val scores = r.getSeq[Int](r.fieldIndex("kw_scores"))
+      kws.zip(scores).foreach { case (kw, sc) =>
+        assert(sc === Ratio.partialRatio(kw, blob), s"kw=$kw blob=$blob")
+      }
+      assert(r.getAs[Int]("score") === scores.max) // logic=any → max
+      assert(r.getAs[Int]("score") >= 80)
+    }
+    assert(any.map(_.getAs[Int]("rn")).toSeq === (1 to any.length))
+    // logic=all is the min-aggregation: only blobs scoring high on BOTH
+    val all = FuzzyQueries.themeSearch(blobs, kws, "all", 80, 1, 10)
+      .collect()
+    all.foreach { r =>
+      val scores = r.getSeq[Int](r.fieldIndex("kw_scores"))
+      assert(r.getAs[Int]("score") === scores.min)
+    }
+    assert(all.length <= any.length)
+    assert(all.map(_.getAs[Long]("course")).toSet
+      .subsetOf(any.map(_.getAs[Long]("course")).toSet))
+    // course 1 hits both keywords (substring containment → 100)
+    assert(all.map(_.getAs[Long]("course")).contains(1L))
   }
 
   test("nested grouping emits sorted struct lists with frequencies") {

@@ -66,5 +66,31 @@ class RatioSpec extends AnyFunSuite {
   test("tokenSortRatio: sorted-token join comparison") {
     assert(Ratio.tokenSortRatio("b a", "a b") === 100)
     assert(Ratio.tokenSortRatio("x y z", "z y x") === 100)
+    // duplicates are KEPT (fuzzywuzzy sorts, it does not dedup)
+    assert(Ratio.tokenSortRatio("big big data", "big data") < 100)
+  }
+
+  test("tokenSortRatio matches CPython difflib on 68 golden vectors " +
+      "(incl. duplicate-token cases)") {
+    val src = Source.fromInputStream(
+      getClass.getResourceAsStream("/token_sort_vectors.json"), "UTF-8")
+    val json = try src.mkString finally src.close()
+    val entry = """\{"a": "(.*?)", "b": "(.*?)", "score": (\d+)\}""".r
+    val vecs = entry.findAllMatchIn(json)
+      .map(m => (m.group(1), m.group(2), m.group(3).toInt)).toSeq
+    assert(vecs.size === 68)
+    vecs.foreach { case (a, b, want) =>
+      assert(Ratio.tokenSortRatio(a, b) === want,
+        s"tokenSortRatio('$a','$b')")
+    }
+  }
+
+  test("tokenSetRatio is NOT symmetric (difflib M is order-dependent in " +
+      "tie cases) — consumers must score a canonical orientation") {
+    // found by random search against CPython difflib; fuzzyJoin scores
+    // each unordered pair once in (min,max) key orientation for exactly
+    // this reason, and its equivalence spec compares that orientation
+    val a = "analysis"; val b = "data intro ba db"
+    assert(Ratio.tokenSetRatio(a, b) !== Ratio.tokenSetRatio(b, a))
   }
 }
