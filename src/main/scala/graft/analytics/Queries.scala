@@ -359,6 +359,74 @@ object Queries {
       .filter(col("jaccard") > 0)
       .orderBy(col("p_partkey"))
 
+  /** F5 (second half): country-from-TLD over hosts synthesized
+    * deterministically from customer keys (testdata carries no URLs; the
+    * construction is replicated verbatim in the oracle SQL, and the
+    * operator under test is [[graft.url.Geo.countryOfHost]] — suffix map
+    * in insertion order, then special-case substrings, else Unknown,
+    * /root/reference/test_pipeline.py:95-114). Pure CASE chain: codegen,
+    * no UDF. */
+  val qCountryTld: Q = (s, dir) => {
+    val tlds = graft.url.Geo.TldCountries.map(_._1.stripPrefix("."))
+    val m = pmod(col("c_custkey"), lit(29))
+    val host = when(m <= 25,
+        concat(lit("www.uni"), col("c_custkey"), lit("."),
+          element_at(typedlit(tlds), (m + 1).cast("int"))))
+      .when(m === 26, concat(lit("www.uni-"), col("c_custkey"),
+        lit(".example")))
+      .when(m === 27, lit("portal.auth.gr.example"))
+      .otherwise(concat(lit("plain"), col("c_custkey"), lit(".example")))
+    t(s, dir, "customer")
+      .withColumn("host", host)
+      .withColumn("country", graft.url.Geo.countryOfHost(col("host")))
+      .groupBy(col("country"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("country"))
+  }
+
+  /** F28: elective score — final = clamp01(0.6·tfidf + 0.4·overlap),
+    * keep ≥ 0.1, sort desc, top-n
+    * (/root/reference/recommendation_system/backend/student_recommender.py:472-506).
+    * overlap = token Jaccard of name vs type; the tfidf stand-in is a
+    * deterministic per-row value in [0,1) (the operator under test is the
+    * blend/clamp/threshold arithmetic, exactly SQL-expressible). */
+  val qElectiveScore: Q = (s, dir) =>
+    t(s, dir, "part")
+      .withColumn("ta", array_distinct(split(lower(col("p_name")), " ")))
+      .withColumn("tb", array_distinct(split(lower(col("p_type")), " ")))
+      .withColumn("overlap_ratio",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .withColumn("tfidf_score",
+        pmod(col("p_partkey"), lit(100)).cast("double") / 100.0)
+      .withColumn("final_score",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.6) * col("tfidf_score") + lit(0.4) * col("overlap_ratio"))))
+      .filter(col("final_score") >= 0.1)
+      .select(col("p_partkey"), col("tfidf_score"), col("overlap_ratio"),
+        col("final_score"))
+      .orderBy(col("final_score").desc, col("p_partkey").asc)
+      .limit(50)
+
+  /** S8 tail: upsert with category-array merge on key conflict — the
+    * reference unions per-field provenance categories when a
+    * (course,skill) link already exists (/root/reference/main.py:2067-2117,
+    * JSON-array CHECK in database.sql:88-97). Two halves of lineitem play
+    * existing/incoming; the merge is
+    * [[graft.sources.Sources.upsertMergeCategories]]. */
+  val qCategoryMerge: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        array(col("l_returnflag"), col("l_linestatus")).as("categories"))
+    val existing = li.filter(col("l_orderkey") % 2 === 0)
+    val incoming = li.filter(col("l_orderkey") % 2 === 1)
+    graft.sources.Sources.upsertMergeCategories(existing, incoming,
+        Seq("l_orderkey", "l_partkey"), "categories")
+      .select(col("l_orderkey"), col("l_partkey"),
+        array_join(col("categories"), ",").as("categories"))
+      .orderBy(col("l_orderkey"), col("l_partkey"))
+  }
+
   /** F29: weighted CASE-WHEN text-match score
     * (/root/reference/main.py:679-687). */
   val qWeightedScore: Q = (s, dir) =>
@@ -399,6 +467,9 @@ object Queries {
     "q_union_dedup" -> qUnionDedup,
     "q_scalars" -> qScalars,
     "q_jaccard" -> qJaccard,
+    "q_country_tld" -> qCountryTld,
+    "q_elective_score" -> qElectiveScore,
+    "q_category_merge" -> qCategoryMerge,
     "q_weighted_score" -> qWeightedScore)
 
   val oracles: Map[String, String] = Map(
@@ -566,6 +637,51 @@ object Queries {
         |WHERE CAST(length(list_intersect(ta, tb)) AS DOUBLE) /
         |   length(list_distinct(list_concat(ta, tb))) > 0
         |ORDER BY p_partkey""".stripMargin,
+    "q_country_tld" -> {
+      // generated from Geo.TldCountries so the oracle CASE can never
+      // drift from the engine's map
+      val tldList = graft.url.Geo.TldCountries
+        .map(t => s"'${t._1.stripPrefix(".")}'").mkString(", ")
+      val whens = graft.url.Geo.TldCountries
+        .map { case (tld, c) => s"WHEN h LIKE '%$tld' THEN '$c'" }
+        .mkString("\n  ")
+      s"""WITH hosts AS (SELECT CASE
+         | WHEN c_custkey % 29 <= 25 THEN 'www.uni' || c_custkey || '.' ||
+         |   list_extract([$tldList], CAST(c_custkey % 29 AS INT) + 1)
+         | WHEN c_custkey % 29 = 26 THEN 'www.uni-' || c_custkey || '.example'
+         | WHEN c_custkey % 29 = 27 THEN 'portal.auth.gr.example'
+         | ELSE 'plain' || c_custkey || '.example' END AS h FROM customer)
+         |SELECT country, count(*) AS n_customers FROM (
+         | SELECT CASE $whens
+         |  WHEN h LIKE '%rug.nl%' THEN 'Netherlands'
+         |  WHEN h LIKE '%auth.gr%' THEN 'Greece'
+         |  WHEN h LIKE '%uni-%' THEN 'Germany'
+         |  ELSE 'Unknown' END AS country FROM hosts)
+         |GROUP BY country ORDER BY country""".stripMargin
+    },
+    "q_elective_score" ->
+      """SELECT p_partkey, tfidf_score, overlap_ratio,
+        | least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+        |   CAST(0.6 AS DOUBLE) * tfidf_score +
+        |   CAST(0.4 AS DOUBLE) * overlap_ratio)) AS final_score
+        |FROM (SELECT p_partkey,
+        |  CAST(p_partkey % 100 AS DOUBLE) / 100.0 AS tfidf_score,
+        |  CAST(length(list_intersect(ta, tb)) AS DOUBLE) /
+        |    length(list_distinct(list_concat(ta, tb))) AS overlap_ratio
+        |  FROM (SELECT p_partkey,
+        |    list_distinct(string_split(lower(p_name), ' ')) AS ta,
+        |    list_distinct(string_split(lower(p_type), ' ')) AS tb
+        |    FROM part))
+        |WHERE least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+        |   CAST(0.6 AS DOUBLE) * tfidf_score +
+        |   CAST(0.4 AS DOUBLE) * overlap_ratio)) >= 0.1
+        |ORDER BY final_score DESC, p_partkey ASC LIMIT 50""".stripMargin,
+    "q_category_merge" ->
+      """SELECT l_orderkey, l_partkey,
+        | array_to_string(list_sort(list_distinct(flatten(
+        |   list([l_returnflag, l_linestatus])))), ',') AS categories
+        |FROM lineitem GROUP BY l_orderkey, l_partkey
+        |ORDER BY l_orderkey, l_partkey""".stripMargin,
     "q_weighted_score" ->
       """SELECT p_partkey,
         | (CASE WHEN lower(p_name) LIKE '%green%' THEN 50 ELSE 0 END +

@@ -207,13 +207,79 @@ object Dedup {
   val qDedupSimhash: (SparkSession, String) => DataFrame = (s, dir) =>
     simhashPairs(t(s, dir), 3)
 
+  // --------------------------------------- near-dup cluster resolution
+
+  /** Connected components over near-dup pair edges → (doc_id,
+    * cluster_id = min doc_id in the component). The pair emitters above
+    * stop at edges; a real pipeline must then pick ONE canonical doc per
+    * near-dup cluster — the reference's fuzzy course-merge analog
+    * (/root/reference/database.py:1022-1071 merges per best-match chain).
+    *
+    * Algorithm: iterative min-label propagation (each node adopts the
+    * min label among itself and its neighbours until fixpoint). All
+    * distributed: per iteration one join + one hash aggregate, labels
+    * localCheckpoint'd so plans stay flat; iteration count = component
+    * diameter, which for near-dup clusters is small. Termination is
+    * guaranteed (labels strictly decrease). */
+  def clusterPairs(pairs: DataFrame)
+      (implicit spark: SparkSession): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.alias("l")
+        .join(nbrMin, col("l.doc_id") === nbrMin("dst"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster_id"),
+            coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"),
+          (col("l.cluster_id") >
+            coalesce(col("nbr_min"), col("l.cluster_id"))).as("moved"))
+        .localCheckpoint(true)
+      changed = next.filter(col("moved")).count()
+      labels = next.drop("moved")
+    }
+    labels
+  }
+
+  /** Keep one canonical doc per near-dup cluster: the min doc_id (the
+    * cluster label itself). Docs in no pair are their own canonical. */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame)
+      (implicit spark: SparkSession): DataFrame = {
+    val losers = clusterPairs(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Minhash near-dup clusters with canonical keeper per cluster
+    * (rows-only driver check; exactness vs union-find is spec-tested). */
+  val qDedupClusters: (SparkSession, String) => DataFrame = (s, dir) => {
+    val clusters = clusterPairs(minhashPairs(t(s, dir), 0.5)(s))(s)
+    clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        array_sort(collect_list(col("doc_id"))).as("members"))
+      .select(col("cluster_id"), col("cluster_size"),
+        concat_ws(",", col("members")).as("members"))
+      .orderBy(col("cluster_id"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_neardup_tokens" -> qNeardupTokens,
     "q_dedup_minhash" -> qDedupMinhash,
-    "q_dedup_simhash" -> qDedupSimhash)
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_clusters" -> qDedupClusters)
 
   /** Oracles only for the SQL-expressible variants; minhash/simhash are
     * covered by ScalaTest recall properties instead. */

@@ -80,6 +80,24 @@ object Sources {
       .map(r => (r.getString(0), r.getString(1)))
       .toSeq
 
+  /** S8 tail: upsert with set-union array merge on key conflict — the
+    * reference's CourseSkill upsert merges per-field provenance category
+    * arrays when the (course,skill) link already exists
+    * (/root/reference/main.py:2067-2117; sorted(set(old)|set(new))
+    * semantics, JSON-array CHECK in database.sql:88-97).
+    *
+    * Spark-first: union + hash aggregate with
+    * array_sort∘array_distinct∘flatten∘collect_list — associative and
+    * commutative, so it gets map-side partial aggregation and is
+    * insensitive to how the input was split into "existing" vs
+    * "incoming" batches (merging N batches ≡ one global merge). */
+  def upsertMergeCategories(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String], arrayCol: String): DataFrame =
+    existing.unionByName(incoming)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(array_distinct(flatten(
+        collect_list(col(arrayCol))))).as(arrayCol))
+
   /** S9: per-lesson partitioned sink — parquet partitioned by a key
     * (replacing one-file-per-lesson with partition dirs). */
   def writePartitioned(df: DataFrame, dir: String, key: String): Unit =

@@ -89,6 +89,39 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("clusterPairs ≡ brute-force union-find; keepCanonical keeps " +
+      "exactly min-id per cluster plus all unpaired docs") {
+    import spark.implicits._
+    // chain 1-2-3, pair (10,11), triangle 20-21-22, singleton edge (30,31)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (20L, 22L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs)(spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val ids = got.keySet
+    val want = ids.map(id => id -> find(id)).toMap
+    assert(got === want)
+    // canonical keeper: min per cluster survives, losers dropped,
+    // unpaired docs untouched
+    val docs = (1L to 40L).toDF("doc_id")
+    val kept = Dedup.keepCanonical(docs, pairs)(spark)
+      .as[Long].collect().toSet
+    assert(!kept.contains(2L) && !kept.contains(3L) && kept.contains(1L))
+    assert(!kept.contains(21L) && !kept.contains(22L) && kept.contains(20L))
+    assert(kept.contains(30L) && !kept.contains(31L))
+    assert(kept.contains(15L) && kept.contains(40L)) // unpaired
+  }
+
   test("exact dedup groups by content hash with min-id keeper") {
     import spark.implicits._
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))

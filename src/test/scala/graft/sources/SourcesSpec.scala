@@ -36,6 +36,73 @@ class SourcesSpec extends SparkSpec {
       ("http://esco/s2", "databases")))
   }
 
+  test("upsertMergeCategories: set-union arrays on key conflict, " +
+      "batch-split insensitive") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, 10L, Seq("description", "objectives")),
+      (2L, 10L, Seq("description"))).toDF("course", "skill", "categories")
+    val incoming = Seq(
+      (1L, 10L, Seq("objectives", "exam")),
+      (3L, 11L, Seq("content"))).toDF("course", "skill", "categories")
+    val out = Sources.upsertMergeCategories(existing, incoming,
+        Seq("course", "skill"), "categories")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2))).toSet
+    assert(out === Set(
+      (1L, 10L, Seq("description", "exam", "objectives")), // sorted union
+      (2L, 10L, Seq("description")),
+      (3L, 11L, Seq("content"))))
+    // associativity: merging (existing, incoming) ≡ one global merge
+    val oneShot = Sources.upsertMergeCategories(
+      existing.unionByName(incoming), spark.emptyDataFrame
+        .sparkSession.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          existing.schema),
+      Seq("course", "skill"), "categories")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2))).toSet
+    assert(oneShot === out)
+  }
+
+  test("university domain-suffix resolution: equals or dot-suffix only, " +
+      "longest domain wins, unmatched is null") {
+    import spark.implicits._
+    val unis = Seq(
+      ("University of Groningen", Seq("rug.nl")),
+      ("Aristotle University", Seq("auth.gr")),
+      ("CS Dept Groningen", Seq("cs.rug.nl")),
+      ("Generic NL", Seq("nl"))).toDF("name", "domains")
+    val pages = Seq(
+      "https://www.cs.rug.nl/course/1",  // longest match = cs.rug.nl
+      "https://rug.nl/",                  // exact domain match
+      "https://notrug.nl/x",              // substring must NOT match rug.nl
+      "https://www.auth.gr/a",
+      "https://unknown.example/").toDF("url")
+    val got = Universities.resolveByDomain(pages, "url", unis)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("https://www.cs.rug.nl/course/1") === "CS Dept Groningen")
+    assert(got("https://rug.nl/") === "University of Groningen")
+    assert(got("https://notrug.nl/x") === "Generic NL") // only ".nl" suffix
+    assert(got("https://www.auth.gr/a") === "Aristotle University")
+    assert(got("https://unknown.example/") === null)
+  }
+
+  test("countryOfHost: TLD map in order, special cases, Unknown") {
+    import spark.implicits._
+    val got = Seq("www.rug.nl", "uni-bonn.example", "portal.auth.gr.example",
+        "www.univ.fr", "something.example", "college.ac.uk")
+      .toDF("host")
+      .select(col("host"), graft.url.Geo.countryOfHost(col("host")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("www.rug.nl") === "Netherlands") // map hit before special
+    assert(got("uni-bonn.example") === "Germany") // special case
+    assert(got("portal.auth.gr.example") === "Greece")
+    assert(got("www.univ.fr") === "France")
+    assert(got("something.example") === "Unknown")
+    assert(got("college.ac.uk") === "United Kingdom")
+  }
+
   test("partitioned sink + csv export roundtrip") {
     import spark.implicits._
     val df = Seq(("u1", "Algebra", 6), ("u1", "Calculus", 5),
