@@ -163,17 +163,22 @@ object Queries {
 
   /** A7: set-coverage score — |present ∩ universe| / |universe| × 100
     * (/root/reference/policy_engine.py:271-282). Integer-ratio double →
-    * exact in both engines. */
+    * exact in both engines. The denominator is a broadcast crossJoin of a
+    * 1-row aggregate (the oracle's scalar subquery), NOT a separate
+    * driver action — the whole query is one job. */
   val qCoverage: Q = (s, dir) => {
     val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
     val p = t(s, dir, "part")
-    val totalBrands = p.select(countDistinct(col("p_brand"))).first().getLong(0)
+    val totalBrands = p.select(
+      countDistinct(col("p_brand")).as("total_brands"))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("o_orderpriority"))
       .agg(countDistinct(col("p_brand")).as("brands_present"))
+      .crossJoin(broadcast(totalBrands))
       .withColumn("coverage_pct",
-        col("brands_present").cast("double") / lit(totalBrands) * 100.0)
+        col("brands_present").cast("double") / col("total_brands") * 100.0)
+      .drop("total_brands")
       .orderBy(col("o_orderpriority"))
   }
 
