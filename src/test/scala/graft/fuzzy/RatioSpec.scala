@@ -70,6 +70,21 @@ class RatioSpec extends AnyFunSuite {
     assert(Ratio.tokenSortRatio("big big data", "big data") < 100)
   }
 
+  test("partialRatio matches the CPython block-anchored replication on " +
+      "69 golden vectors (fuzzywuzzy algorithm, autojunk=False)") {
+    val src = Source.fromInputStream(
+      getClass.getResourceAsStream("/partial_ratio_vectors.json"), "UTF-8")
+    val json = try src.mkString finally src.close()
+    val entry = """\{"a": "(.*?)", "b": "(.*?)", "score": (\d+)\}""".r
+    val vecs = entry.findAllMatchIn(json)
+      .map(m => (m.group(1), m.group(2), m.group(3).toInt)).toSeq
+    assert(vecs.size === 69)
+    vecs.foreach { case (a, b, want) =>
+      assert(Ratio.partialRatio(a, b) === want,
+        s"partialRatio('$a','$b')")
+    }
+  }
+
   test("tokenSortRatio matches CPython difflib on 68 golden vectors " +
       "(incl. duplicate-token cases)") {
     val src = Source.fromInputStream(
