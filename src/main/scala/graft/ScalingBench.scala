@@ -26,8 +26,13 @@ object ScalingBench {
     // criterion varies executor count, not cold-start cost
     val (wf, wt) = Bench.runCrawl(spark, 60, 16, 8, roundMs = 200000L)
     System.err.println(s"[scaling] warmup@$cores: $wf urls in $wt s")
+    // roundMs 600s: per-host budgets 600-3000 → the crawl drains in
+    // ~BFS-depth rounds. Every round pays a full corpus-cache probe scan
+    // (the sandbox "fetch"), which is memory-bandwidth-bound and thus the
+    // worst-scaling component — the politeness window is a legitimate
+    // knob, and a wider window measures the engine, not the scan count.
     val out = Bench.runCrawl(spark, nHosts, basePages, richness,
-      roundMs = 200000L)
+      roundMs = 600000L)
     spark.stop()
     // a fresh builder after stop() creates a new context (same JVM)
     SparkSession.clearActiveSession()

@@ -87,8 +87,10 @@ object Crawler {
       lineageSlices += s.read(r, "lineage").as[Lineage]
     }
 
+    val roundLog = sys.env.get("GRAFT_ROUND_LOG").contains("1")
     var continue = true
     while (continue && state.round < maxRounds) {
+      val t0 = System.nanoTime()
       val out = Round.run(pages, robots, state.frontier, state.seenHashes,
         dict, state.round, roundMs, bloomPrefilter, bloomCopartition)
       if (out.fetchedCount == 0L) {
@@ -140,6 +142,9 @@ object Crawler {
         // everything derived from this round's caches (results slice,
         // next frontier) is materialized above — release them now
         out.release()
+        if (roundLog) System.err.println(
+          f"[crawl] round ${state.round - 1}%3d fetched=${out.fetchedCount}%7d " +
+          f"total=${state.totalFetched}%8d secs=${(System.nanoTime() - t0) / 1e9}%7.2f")
       }
     }
     val allResults =

@@ -57,6 +57,7 @@ object Round {
       bloomCopartition: Boolean = false)
       (implicit spark: SparkSession): Output = {
     import spark.implicits._
+    val tRoundStart = System.nanoTime()
 
     // 1. dedup against the seen set. Bloom prefilters first (broadcast
     //    layout = map-side, no frontier shuffle; co-partitioned layout =
@@ -83,16 +84,32 @@ object Round {
 
     // 3. "fetch" = join the corpus (the synthesized pages table IS the
     //    web; SURVEY.md S1). Misses (dangling links) retry up to the cap.
+    //
+    //    Join shape: the selected set is politeness-BUDGET-BOUNDED
+    //    (≤ Σ host budgets per round), so it broadcasts and the heavy
+    //    corpus side (html blobs) streams in place — an SMJ here would
+    //    shuffle + sort the ENTIRE corpus every round, the single most
+    //    bandwidth-hungry mistake this loop can make. At 10^10-frontier
+    //    scale with very large per-round budgets the equivalent shape is
+    //    both sides bucketed on url_hash (corpus written bucketed once,
+    //    selected set shuffled to match — still never the corpus).
     val sel = selected.toDF().alias("f")
-    val fetched = sel.join(pages.alias("p"), col("f.url") === col("p.url"))
+    val fetched = pages.alias("p")
+      .join(broadcast(sel), col("f.url") === col("p.url"))
+      // column discipline: the corpus `text` column is NOT selected —
+      // extraction recomputes it from html (byte-identity is the tested
+      // invariant), and an unused heavy column here would be decompressed
+      // from the columnar cache on EVERY round's corpus scan
       .select(col("f.url").as("url"), col("f.url_hash").as("url_hash"),
         col("f.host").as("host"), col("f.depth").as("depth"),
         col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
-        col("p.text").as("corpus_text"), col("p.lang").as("lang"))
+        col("p.lang").as("lang"))
       .cache()
 
-    val missed = sel.join(pages.alias("p2"), col("f.url") === col("p2.url"),
-        "left_anti")
+    // misses = selected minus fetched urls (both round-bounded and
+    // broadcastable) — NOT an anti-join against the whole corpus
+    val missed = sel
+      .join(broadcast(fetched.select(col("url"))), Seq("url"), "left_anti")
       .withColumn("retry_count", col("retry_count") + 1)
       .filter(col("retry_count") < Frontier.MaxRetries)
       .select(Frontier.Cols.map(col): _*)
@@ -146,6 +163,9 @@ object Round {
       .collect()
     val lineage = spark.createDataset(lineageRows.toSeq)
     val fetchedCount = lineageRows.map(_.fetch_count).sum
+    if (sys.env.get("GRAFT_ROUND_LOG").contains("1")) System.err.println(
+      f"[round $roundNo%3d] fetch+extract action: " +
+      f"${(System.nanoTime() - tRoundStart) / 1e9}%7.2f s")
 
     // 5. link scrape → new frontier candidates (same-host only,
     //    apify.js:156-163), depth+1, dedup'd against seen ∪ this round.
