@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Cap G1's young generation: with a 64g heap G1 grows eden to ~60%
+  // of the heap, and the crawl's allocation-heavy extraction rounds
+  // then hit multi-second evacuation pauses that stall every task
+  // thread (measured 1.9-5.7 s young pauses; BASELINE.md round-2 GC
+  // cliff). A bounded young gen trades them for frequent short pauses.
+  "-XX:MaxGCPauseMillis=150",
+  "-XX:+UnlockExperimentalVMOptions",
+  "-XX:G1MaxNewSizePercent=20",
+) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq

@@ -56,6 +56,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(SparkTune.conf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

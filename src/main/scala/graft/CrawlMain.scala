@@ -11,7 +11,7 @@ import graft.crawl.{Crawler, Snapshot}
   * throughput — the north-star metric "frontier URLs processed/sec
   * (fetch + dedup + skill-extract)".
   *
-  * Usage: graft.CrawlMain [nHosts] [basePages] [maxRounds] [snapshotDir]
+  * Usage: graft.CrawlMain [nHosts] [basePages] [maxRounds] [snapshotDir|-] [roundMs] [richness]
   * Env:   SPARK_GRAFT_CPUS (default 4) — local[N] parallelism; the
   *        N-vs-4N scaling evidence for BASELINE.md runs this main at
   *        two values on the same input.
@@ -21,7 +21,9 @@ object CrawlMain {
     val nHosts = if (args.length > 0) args(0).toInt else 50
     val basePages = if (args.length > 1) args(1).toInt else 16
     val maxRounds = if (args.length > 2) args(2).toInt else 200
-    val snapDir = if (args.length > 3) Some(args(3)) else None
+    val snapDir = if (args.length > 3 && args(3) != "-") Some(args(3)) else None
+    val roundMs = if (args.length > 4) args(4).toLong else 4000L
+    val richness = if (args.length > 5) args(5).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     implicit val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,10 +32,11 @@ object CrawlMain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(SparkTune.conf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val pages = Synth.pages(spark, nHosts, basePages).toDF().cache()
+    val pages = Synth.pages(spark, nHosts, basePages, richness).toDF().cache()
     val corpusSize = pages.count() // materialize before timing the crawl
     val robots = Synth.robots(spark, nHosts)
     val seeds = Synth.seeds(spark, nHosts)
@@ -42,7 +45,7 @@ object CrawlMain {
     val snap = snapDir.map(d => new Snapshot(d))
     val t0 = System.nanoTime()
     val (state, results, lineage) = Crawler.crawl(pages, robots, seeds,
-      dict, maxRounds = maxRounds, roundMs = 4000L, snapshot = snap)
+      dict, maxRounds = maxRounds, roundMs = roundMs, snapshot = snap)
     val fetched = state.totalFetched
     val skillHits = results.selectExpr("sum(size(skill_uris))")
       .head.getLong(0)

@@ -18,8 +18,10 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(SparkTune.conf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    StageLog.maybeInstall(spark.sparkContext)
     // warmup leg (recorded round-1 protocol): a small untimed crawl first
     // pays JIT + Catalyst/janino codegen warmup inside this JVM, mirroring
     // the steady-state warm executors of a real cluster — the N-vs-4N

@@ -71,7 +71,15 @@ object Crawler {
           s.read(r, "frontier").as[FrontierEntry],
           s.read(r, "seen"),
           s.counters(r).getOrElse("total_fetched", 0L))
-      case None => initialState(seeds, pages)
+      case None =>
+        val s0 = initialState(seeds, pages)
+        // checkpoint the seed frontier like every later round's: its
+        // plan embeds a seeds ⋈ pages join, and round 0 otherwise
+        // re-executes that corpus scan in every plan that references
+        // the frontier (measured: ~10 corpus scans + 2.8M redundant
+        // canonicalize calls in round 0 at the 265k-page bench corpus)
+        s0.copy(frontier =
+          s0.frontier.toDF().localCheckpoint(true).as[FrontierEntry])
     }
     // per-round result/lineage slices: each round's slice is already
     // cached (Round.run) or snapshot-backed; they union lazily at the
@@ -105,10 +113,21 @@ object Crawler {
         resultSlices += slice
         lineageSlices += out.lineage
         // this round's fetches are disjoint from seen by construction
-        // (the round anti-joins before fetching) → plain union of flat
-        // checkpointed slices, no distinct shuffle needed
+        // (the round anti-joins before fetching) → plain union, no
+        // distinct shuffle needed. The union is re-checkpointed FLAT
+        // each round: a lazy union would grow by one 32-partition slice
+        // per round, and the two per-round anti-joins against seen then
+        // scan rounds×32 map partitions — measured 200-400 task-seconds
+        // of pure scheduling + mmap churn per round by round 10
+        // (BASELINE.md round-2 notes). The seen set is url_hash only
+        // (8 B/url), so a full rewrite per round is ~3 MB at this
+        // corpus; at 10^10-frontier scale the co-partitioned Bloom
+        // shards carry the prefilter and this exact set lives in an
+        // Iceberg table updated by appending the round's slice instead.
         val newSeen = state.seenHashes
           .unionByName(slice.select("url_hash").toDF())
+          .coalesce(spark.sparkContext.defaultParallelism)
+          .localCheckpoint(true)
         val next = CrawlState(state.round + 1, out.nextFrontier, newSeen,
           state.totalFetched + out.fetchedCount)
         snapshot match {
@@ -144,7 +163,9 @@ object Crawler {
         out.release()
         if (roundLog) System.err.println(
           f"[crawl] round ${state.round - 1}%3d fetched=${out.fetchedCount}%7d " +
-          f"total=${state.totalFetched}%8d secs=${(System.nanoTime() - t0) / 1e9}%7.2f")
+          f"total=${state.totalFetched}%8d secs=${(System.nanoTime() - t0) / 1e9}%7.2f " +
+          f"matchCalls=${graft.extract.EscoMatcher.callCount.getAndSet(0L)}%8d " +
+          graft.Prof.snapshotAndReset())
       }
     }
     val allResults =

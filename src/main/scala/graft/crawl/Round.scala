@@ -96,6 +96,13 @@ object Round {
     val sel = selected.toDF().alias("f")
     val fetched = pages.alias("p")
       .join(broadcast(sel), col("f.url") === col("p.url"))
+      .transform { df =>
+        if (sys.env.get("GRAFT_PLAN_LOG").contains("1")) System.err.println(
+          s"[plan round $roundNo] fetch join:\n" +
+          df.queryExecution.sparkPlan.toString.take(
+            sys.env.get("GRAFT_PLAN_FULL").fold(2000)(_ => 20000)))
+        df
+      }
       // column discipline: the corpus `text` column is NOT selected —
       // extraction recomputes it from html (byte-identity is the tested
       // invariant), and an unused heavy column here would be decompressed
@@ -124,12 +131,16 @@ object Round {
     // one pass computing the per-page content signatures (dedup sketches
     // + language + size) — the per-document work a training-data crawl
     // does between fetch and write
-    val signatures = udf((text: String) => (
-      graft.dedup.Dedup.simhash(text),
-      graft.dedup.Dedup.minhash(text).toSeq,
-      graft.text.TextStats.detectLang(text),
-      if (text == null || text.trim.isEmpty) 0
-      else text.trim.split("\\s+").length))
+    // tokenize once per page: simhash/minhash share the split (the
+    // former 4× re-split of each ~10 KB text was a top allocation site
+    // in the round-2 GC-stall diagnosis, BASELINE.md)
+    val signatures = udf((text: String) => graft.Prof.time("sig") {
+      val toks = graft.dedup.Dedup.tokens(text)
+      (graft.dedup.Dedup.simhashOf(toks),
+        graft.dedup.Dedup.minhashOf(graft.dedup.Dedup.shinglesOf(toks)).toSeq,
+        graft.text.TextStats.detectLang(text),
+        toks.length)
+    })
     val results = fetched
       .withColumn("text", TextExtract.extractText(col("html")))
       .withColumn("skill_uris", matchUris(col("text")))
@@ -143,6 +154,13 @@ object Round {
         col("sig._4").as("n_tokens"))
       .as[CrawlResult]
       .cache()
+    if (sys.env.get("GRAFT_PLAN_LOG").contains("1")) {
+      val p = results.queryExecution.executedPlan.toString
+      System.err.println(s"[plan round $roundNo] results UDF counts: " +
+        Seq("UDF", "extract", "matchUris", "anonfun").map(k =>
+          s"$k=${p.sliding(k.length).count(_ == k)}").mkString(" ") +
+        s" planLen=${p.length}")
+    }
 
     // per-partition lineage counters (SDK_CRAWLER_STATISTICS analog).
     // Collecting them (≤ one row per partition) IS the round's single

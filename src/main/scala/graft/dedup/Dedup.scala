@@ -75,21 +75,53 @@ object Dedup {
   val NumHashes = 64
   val Bands = 16 // 16 bands × 4 rows
 
+  /** Lowercased whitespace tokens — the shared tokenization for the
+    * signature family. Computed once per document by callers that need
+    * several signatures (the crawl's sig UDF): re-splitting a 10 KB text
+    * 4× per page was a measurable slice of the round-2 allocation storm
+    * (BASELINE.md cliff notes). */
+  def tokens(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+
   /** 3-token shingle set of a document (lowercased, whitespace-split). */
-  def shingles(text: String): Set[Long] = {
-    if (text == null) return Set.empty
-    val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < ShingleSize)
-      return Set(Canonical.hash64(toks.mkString(" ")))
-    toks.sliding(ShingleSize)
-      .map(w => Canonical.hash64(w.mkString(" "))).toSet
+  def shingles(text: String): Set[Long] = shinglesOf(tokens(text))
+
+  /** Shingle hashes from pre-split tokens. Index loop + one reused
+    * builder instead of `sliding` — sliding's per-window slice/copy was
+    * a top allocation site under jstack sampling at crawl scale. */
+  def shinglesOf(toks: Array[String]): Set[Long] = {
+    val sb = new java.lang.StringBuilder(64)
+    if (toks.length < ShingleSize) {
+      var i = 0
+      while (i < toks.length) {
+        if (i > 0) sb.append(' ')
+        sb.append(toks(i)); i += 1
+      }
+      return Set(Canonical.hash64(sb.toString))
+    }
+    val out = Set.newBuilder[Long]
+    var i = 0
+    while (i + ShingleSize <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < ShingleSize) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      out += Canonical.hash64(sb.toString)
+      i += 1
+    }
+    out.result()
   }
 
   /** MinHash signature: numHashes permutations simulated by mixing the
     * shingle hash with per-function seeds (standard one-permutation-free
     * construction; Broder 1997 resemblance sketch). */
-  def minhash(text: String): Array[Long] = {
-    val sh = shingles(text)
+  def minhash(text: String): Array[Long] = minhashOf(shingles(text))
+
+  /** MinHash over a precomputed shingle set (tokenize-once path). */
+  def minhashOf(sh: Set[Long]): Array[Long] = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     sh.foreach { h =>
       var i = 0
@@ -165,10 +197,12 @@ object Dedup {
 
   /** 64-bit SimHash (Charikar 2002): sum ±1 per bit over token hashes,
     * take signs. Near-dup ⟺ small Hamming distance. */
-  def simhash(text: String): Long = {
-    if (text == null) return 0L
+  def simhash(text: String): Long = simhashOf(tokens(text))
+
+  /** SimHash over pre-split tokens (tokenize-once path). */
+  def simhashOf(toks: Array[String]): Long = {
     val counts = new Array[Int](64)
-    text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+    toks.foreach { tok =>
       val h = Canonical.hash64(tok)
       var b = 0
       while (b < 64) {

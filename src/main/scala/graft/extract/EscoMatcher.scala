@@ -68,7 +68,13 @@ object EscoMatcher extends Serializable {
     * distinct concept uris in first-hit order, then sort for determinism
     * (reference sorts skill lists before compare,
     * tests/test_compare_extracted_skills.py:29-33). */
+  /** Diagnostic: total matchUris invocations in this JVM (local mode —
+    * driver and executors share it). Lets the crawl round log report
+    * calls/page and catch plan shapes that re-evaluate extraction. */
+  val callCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def matchUris(dict: Dict, text: String): Seq[String] = {
+    callCount.incrementAndGet()
     val norm = normalize(text)
     if (norm.isEmpty) return Nil
     val tokens = norm.split(' ')
@@ -90,7 +96,7 @@ object EscoMatcher extends Serializable {
 
   /** UDF pair over a broadcast dict: text → sorted concept uris / labels. */
   def matcherUdf(bc: Broadcast[Dict]): Column => Column = {
-    val f = udf((text: String) => matchUris(bc.value, text))
+    val f = udf((text: String) => graft.Prof.time("match")(matchUris(bc.value, text)))
     c => f(c)
   }
 

@@ -146,8 +146,8 @@ object TextExtract extends Serializable {
     links(new String(htmlBytes, StandardCharsets.UTF_8))
 
   // ---- Column UDFs ----
-  val extractUdf = udf((b: Array[Byte]) => extract(b))
-  val linksUdf = udf((b: Array[Byte]) => links(b))
+  val extractUdf = udf((b: Array[Byte]) => graft.Prof.time("extract")(extract(b)))
+  val linksUdf = udf((b: Array[Byte]) => graft.Prof.time("links")(links(b)))
 
   def extractText(c: Column): Column = extractUdf(c)
   def extractLinks(c: Column): Column = linksUdf(c)

@@ -82,15 +82,25 @@ object TextStats {
     "sv" -> Seq("och", "att", "det", "som", "en", "med"),
     "el" -> Seq("και", "του", "της", "είναι", "με", "για"))
 
+  // marker sets prebuilt once (per-call .toSet was needless allocation
+  // in the crawl's per-page signature pass), alphabetical for the
+  // deterministic tie-break
+  private val MarkerSets: Array[(String, Set[String])] =
+    LangMarkers.toSeq.sortBy(_._1).map { case (l, m) => (l, m.toSet) }.toArray
+
   def detectLang(text: String): String = {
     if (text == null || text.isEmpty) return "und"
     val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
-    val counts = LangMarkers.map { case (lang, markers) =>
-      val m = markers.toSet
-      lang -> toks.count(m.contains)
+    var bestLang = "und"; var bestCount = 0
+    var i = 0
+    while (i < MarkerSets.length) {
+      val (lang, m) = MarkerSets(i)
+      var c = 0; var j = 0
+      while (j < toks.length) { if (m.contains(toks(j))) c += 1; j += 1 }
+      if (c > bestCount) { bestLang = lang; bestCount = c } // ties: first
+      i += 1
     }
-    val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
-    if (best._2 == 0) "und" else best._1
+    if (bestCount == 0) "und" else bestLang
   }
 
   /** Predicted vs stored language agreement per stored lang (no SQL

@@ -31,6 +31,7 @@ object GoldenGen {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.SparkTune.conf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

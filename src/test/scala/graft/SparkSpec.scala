@@ -18,6 +18,7 @@ object SparkSpec {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.SparkTune.conf)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
