@@ -184,6 +184,10 @@ object Round {
     if (sys.env.get("GRAFT_ROUND_LOG").contains("1")) System.err.println(
       f"[round $roundNo%3d] fetch+extract action: " +
       f"${(System.nanoTime() - tRoundStart) / 1e9}%7.2f s")
+    if (sys.env.get("GRAFT_PLAN_LOG").contains("1")) System.err.println(
+      s"[plan round $roundNo] results EXECUTED:\n" +
+      results.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head.take(6000))
 
     // 5. link scrape → new frontier candidates (same-host only,
     //    apify.js:156-163), depth+1, dedup'd against seen ∪ this round.
