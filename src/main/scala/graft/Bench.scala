@@ -32,7 +32,7 @@ object Bench {
     * sandbox scale. */
   def runCrawl(spark: SparkSession, nHosts: Int = 200,
       basePages: Int = 24, richness: Int = 10,
-      roundMs: Long = 60000L): (Long, Double) = {
+      roundMs: Long = 60000L, bloom: Boolean = false): (Long, Double) = {
     implicit val s: SparkSession = spark
     val pages = Synth.pages(spark, nHosts, basePages, richness)
       .toDF().cache()
@@ -42,7 +42,8 @@ object Bench {
     val dict = Synth.escoLabels().map(l => (l.concept_uri, l.preferred_label))
     val t0 = System.nanoTime()
     val (state, _, _) = Crawler.crawl(pages, robots, seeds, dict,
-      maxRounds = 60, roundMs = roundMs)
+      maxRounds = 60, roundMs = roundMs,
+      bloomPrefilter = bloom, bloomCopartition = bloom)
     pages.unpersist()
     (state.totalFetched, (System.nanoTime() - t0) / 1e9)
   }
@@ -67,6 +68,11 @@ object Bench {
     val warm = runQueries(spark, sfDir)
     val (fetched, crawlSecs) = runCrawl(spark)
     val crawlRate = fetched / crawlSecs
+    // the same crawl through the co-partitioned Bloom-shard seen-set path
+    // (the component the north rule names) — CrawlerSpec proves output
+    // equality; this leg provides its timed evidence
+    val (fetchedB, crawlSecsB) = runCrawl(spark, bloom = true)
+    val crawlRateB = fetchedB / crawlSecsB
 
     def fmt(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -77,6 +83,8 @@ object Bench {
       s""""queries":${fmt(results)},"queries_warm":${fmt(warm)},""" +
       s""""warm_total":$warmTotal,"crawl_urls_per_sec":$crawlRate,""" +
       s""""crawl_fetched":$fetched,"crawl_secs":$crawlSecs,""" +
+      s""""crawl_bloom_urls_per_sec":$crawlRateB,""" +
+      s""""crawl_bloom_fetched":$fetchedB,"crawl_bloom_secs":$crawlSecsB,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

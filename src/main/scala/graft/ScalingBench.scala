@@ -39,9 +39,12 @@ object ScalingBench {
     // 10-20× across runs with unchanged plans and flat GC; BASELINE.md
     // round-2 notes) — min-of-N isolates the engine's capability from
     // host noise, and both legs get the identical protocol.
+    // GRAFT_BLOOM=1 routes the timed crawls through the co-partitioned
+    // Bloom-shard seen-set path (same output; CrawlerSpec-proven)
+    val bloom = sys.env.get("GRAFT_BLOOM").contains("1")
     val runs = (1 to 2).map { i =>
       val out = Bench.runCrawl(spark, nHosts, basePages, richness,
-        roundMs = 600000L)
+        roundMs = 600000L, bloom = bloom)
       System.err.println(s"[scaling] rep$i@$cores: ${out._1} urls in ${out._2} s")
       out
     }

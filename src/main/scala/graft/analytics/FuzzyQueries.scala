@@ -127,9 +127,10 @@ object FuzzyQueries {
   def themeSearch(blobs: DataFrame, keywords: Seq[String], logic: String,
       threshold: Int, page: Int, perPage: Int): DataFrame = {
     require(logic == "all" || logic == "any", s"logic=$logic")
-    val kws = keywords.map(_.toLowerCase)
+    // keywords are scored AS GIVEN — the reference lowercases only the
+    // blob (main.py:4403-4407 passes raw keywords to fuzz.partial_ratio)
     val distinctBlobs = blobs.select(col("blob")).distinct()
-      .withColumn("kw_scores", array(kws.map(kw =>
+      .withColumn("kw_scores", array(keywords.map(kw =>
         Ratio.fuzzPartialRatio(lit(kw), lower(col("blob")))): _*))
       .withColumn("score",
         if (logic == "all") array_min(col("kw_scores"))
@@ -144,29 +145,69 @@ object FuzzyQueries {
       .withColumn("pg", pmod(length(col("uni")), lit(1)))
     val w = Window.partitionBy(col("pg"))
       .orderBy(col("score").desc, col("uni").asc, col("course").asc)
+    // pass through any extra blob-side columns (e.g. a per-course skills
+    // array for the grouped result shaping)
+    val extra = blobs.columns
+      .filterNot(Set("blob", "uni", "course")).toSeq.map(col)
     top.withColumn("rn", row_number().over(w))
       .filter(col("rn").between(start, end))
-      .select(col("rn"), col("uni"), col("course"), col("score"),
-        col("kw_scores"))
+      .select(Seq(col("rn"), col("uni"), col("course"), col("score"),
+        col("kw_scores")) ++ extra: _*)
       .orderBy(col("rn"))
+  }
+
+  /** The reference's final theme-search shaping (main.py:4442-4450): the
+    * page of flat rows grouped by university — each university carries its
+    * page courses in page order — plus ONE page-level distinct-skill set
+    * shared by every output row (`unique_skills_page` is global to the
+    * page, so it joins back as a broadcast single-row aggregate).
+    * Input must carry (rn, uni, course, skills); page size is bounded by
+    * perPage, so every aggregate here is tiny by construction. */
+  def themeSearchGrouped(page: DataFrame): DataFrame = {
+    val pageSkills = page.agg(array_sort(array_distinct(flatten(
+      collect_list(col("skills"))))).as("page_skills"))
+    page.groupBy(col("uni"))
+      .agg(array_sort(collect_list(struct(col("rn"), col("course"),
+        col("skills")))).as("courses"))
+      .crossJoin(broadcast(pageSkills))
+      .orderBy(col("uni"))
   }
 
   /** q_theme_search over testdata: "university" = nation, "course" = an
     * order, blob = the order's sorted distinct part names (the reference
     * blob is the course's titles+skills text, main.py:4395-4402). */
-  val qThemeSearch: (SparkSession, String) => DataFrame = (s, dir) => {
+  /** Blob table shared by the flat and grouped theme-search queries:
+    * "skills" = the order's sorted distinct part names (the reference
+    * blob is the course's titles+skills text, main.py:4395-4402). */
+  private def themeBlobs(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
     val p = t(s, dir, "part")
-    val blobs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name").as("uni"), col("o_orderkey").as("course"))
-      .agg(concat_ws(" ",
-        array_sort(collect_set(lower(col("p_name"))))).as("blob"))
-    themeSearch(blobs, Seq("green", "steel"), "any",
-      threshold = 60, page = 1, perPage = 25)
+      .agg(array_sort(collect_set(lower(col("p_name")))).as("skills"))
+      .withColumn("blob", concat_ws(" ", col("skills")))
+  }
+
+  val qThemeSearch: (SparkSession, String) => DataFrame = (s, dir) =>
+    themeSearch(themeBlobs(s, dir).drop("skills"), Seq("green", "steel"),
+      "any", threshold = 60, page = 1, perPage = 25)
+      // driver-harness schema: the oracle comparator sorts columns with
+      // pandas, and numpy arrays are unhashable — ship the per-keyword
+      // scores as a joined string (scores themselves are OpsSpec-pinned)
+      .withColumn("kw_scores", array_join(col("kw_scores"), ","))
+
+  /** Grouped page shaping (rows → university → courses + page skills),
+    * JSON/string-shaped for the driver comparator. */
+  val qThemeGrouped: (SparkSession, String) => DataFrame = (s, dir) => {
+    val page = themeSearch(themeBlobs(s, dir), Seq("green", "steel"),
+      "any", threshold = 60, page = 1, perPage = 25)
+    themeSearchGrouped(page)
+      .select(col("uni"), to_json(col("courses")).as("courses_json"),
+        array_join(col("page_skills"), " ").as("page_skills"))
   }
 
   /** A8: per-group keyword-area coverage — % of groups whose member set
@@ -210,6 +251,7 @@ object FuzzyQueries {
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_best_match" -> qBestMatch,
     "q_theme_search" -> qThemeSearch,
+    "q_theme_grouped" -> qThemeGrouped,
     "q_area_coverage" -> qAreaCoverage,
     "q_nested_groups" -> qNestedGroups)
 

@@ -105,13 +105,16 @@ object Crawler {
         out.release()
         continue = false
       } else {
-        // truncate this round's plan ONCE (the slice is already cached so
-        // this is a cheap copy): without it the seen-union plan embeds
-        // each previous round's whole pipeline twice (anti-join + union)
-        // and grows exponentially with rounds
-        val slice = out.results.localCheckpoint(true)
-        resultSlices += slice
-        lineageSlices += out.lineage
+        // truncate this round's plan ONCE: without it the seen-union plan
+        // embeds each previous round's whole pipeline twice (anti-join +
+        // union) and grows exponentially with rounds. In snapshot mode
+        // the results cache itself is the slice — it is written to the
+        // round's parquet dir below and the parquet read becomes the
+        // durable handle, so no extra checkpoint copy is needed.
+        val slice = snapshot match {
+          case Some(_) => out.results
+          case None => out.results.localCheckpoint(true)
+        }
         // this round's fetches are disjoint from seen by construction
         // (the round anti-joins before fetching) → plain union, no
         // distinct shuffle needed. The union is re-checkpointed FLAT
@@ -128,35 +131,46 @@ object Crawler {
           .unionByName(slice.select("url_hash").toDF())
           .coalesce(spark.sparkContext.defaultParallelism)
           .localCheckpoint(true)
-        val next = CrawlState(state.round + 1, out.nextFrontier, newSeen,
-          state.totalFetched + out.fetchedCount)
+        val newTotal = state.totalFetched + out.fetchedCount
+        // materialize the next frontier ONCE (it feeds every join of the
+        // next round); counting the checkpointed copy is a metadata-cheap
+        // job and closes the round's lineage: new_links = entries
+        // enqueued for the next round (discovered + deferred + retries),
+        // recorded on the lowest-numbered partition's row
+        val fr = out.nextFrontier.toDF().localCheckpoint(true)
+        val enqueued = fr.count()
+        val patchedLineage = {
+          val rows = out.lineage.collect() // LocalRelation — driver-local
+          val minP = rows.map(_.partition_id).min
+          spark.createDataset(rows.map(r =>
+            if (r.partition_id == minP) r.copy(new_links = enqueued)
+            else r).toSeq)
+        }
         snapshot match {
           case Some(s) =>
-            val allResults = resultSlices.reduce(_ unionByName _)
-            val allLineage = lineageSlices.reduce(_ unionByName _)
-            s.write(state.round, Map(
-              "frontier" -> next.frontier.toDF(),
-              "seen" -> next.seenHashes,
-              "results" -> allResults.toDF(),
-              "lineage" -> allLineage.toDF()),
-              Map("total_fetched" -> next.totalFetched,
-                "round_fetched" -> out.fetchedCount))
-            // re-read from the snapshot: truncates plan lineage so the
-            // logical plan does not grow across rounds
-            resultSlices.clear()
-            lineageSlices.clear()
-            resultSlices += s.read(state.round, "results").as[CrawlResult]
-            lineageSlices += s.read(state.round, "lineage").as[Lineage]
-            state = CrawlState(next.round,
+            // append-only commit: ONLY this round's results/lineage slice
+            // is written (the manifest accumulates slice paths) — write
+            // volume per round is O(slice), not O(total); frontier and
+            // seen are full-state replacements like Iceberg overwrites
+            s.write(state.round,
+              tables = Map("frontier" -> fr, "seen" -> newSeen),
+              counters = Map("total_fetched" -> newTotal,
+                "round_fetched" -> out.fetchedCount,
+                "new_links" -> enqueued),
+              appends = Map("results" -> slice.toDF(),
+                "lineage" -> patchedLineage.toDF()))
+            // hold the parquet-backed slice (not the cache, which is
+            // released below); plans stay flat — one scan per slice
+            resultSlices += s.readSlice(state.round, "results").as[CrawlResult]
+            lineageSlices += s.readSlice(state.round, "lineage").as[Lineage]
+            state = CrawlState(state.round + 1,
               s.read(state.round, "frontier").as[FrontierEntry],
-              s.read(state.round, "seen"), next.totalFetched)
+              s.read(state.round, "seen"), newTotal)
           case None =>
-            // snapshot-less: only the frontier needs plan truncation
-            // (it feeds the next round's joins); seen stays a lazy
-            // union of this run's small cached per-round hash sets
-            state = CrawlState(next.round,
-              next.frontier.localCheckpoint(true).as[FrontierEntry],
-              next.seenHashes, next.totalFetched)
+            resultSlices += slice
+            lineageSlices += patchedLineage
+            state = CrawlState(state.round + 1, fr.as[FrontierEntry],
+              newSeen, newTotal)
         }
         // everything derived from this round's caches (results slice,
         // next frontier) is materialized above — release them now
@@ -164,7 +178,7 @@ object Crawler {
         if (roundLog) System.err.println(
           f"[crawl] round ${state.round - 1}%3d fetched=${out.fetchedCount}%7d " +
           f"total=${state.totalFetched}%8d secs=${(System.nanoTime() - t0) / 1e9}%7.2f " +
-          f"matchCalls=${graft.extract.EscoMatcher.callCount.getAndSet(0L)}%8d " +
+          f"matchCalls=${graft.extract.EscoMatcher.callCount.sumThenReset()}%8d " +
           graft.Prof.snapshotAndReset())
       }
     }

@@ -174,7 +174,9 @@ object Round {
         sum(when(length(col("text")) > 0, 1).otherwise(0)).as("extract_count"),
         sum(size(col("skill_uris"))).as("skill_hits"))
       .withColumn("round", lit(roundNo))
-      .withColumn("new_links", lit(0L)) // patched by caller with count
+      // Crawler patches new_links (next-round enqueue count, known only
+      // after the frontier materializes) onto the lowest-partition row
+      .withColumn("new_links", lit(0L))
       .select("round", "partition_id", "fetch_count", "extract_count",
         "new_links", "skill_hits")
       .as[Lineage]

@@ -17,9 +17,9 @@ import scala.collection.mutable
   * skill-label dictionary matcher expressed through Catalyst UDFs" of the
   * north rule.
   *
-  * Normalization mirrors `_normalize_skill`
+  * Normalization is `_normalize_skill` exactly
   * (/root/reference/recommendation_system/backend/student_recommender.py:28-41):
-  * lowercase, keep [a-z0-9 + - . #] and Greek letters, collapse whitespace.
+  * strip+lowercase, delete chars outside [a-z0-9, Greek, \s, + - . #].
   */
 object EscoMatcher extends Serializable {
 
@@ -28,36 +28,58 @@ object EscoMatcher extends Serializable {
       labelOf: Map[String, String],        // concept uri -> preferred label
       maxN: Int)
 
+  /** Exact `_normalize_skill` semantics
+    * (/root/reference/recommendation_system/backend/student_recommender.py:37-41):
+    * strip, lowercase, then DELETE every char outside
+    * `[a-z0-9Ͱ-Ͽἀ-῿\s\-\+\.#]` — deletion, not
+    * space-substitution, so "C++/Java" → "c++java"; whitespace inside the
+    * string survives as-is (no collapse, no re-strip). The Greek ranges
+    * cover uppercase/final-sigma/polytonic (Python .lower() maps Greek
+    * uppercase into the same block first). Python `\s` additionally
+    * matches NBSP/NEL/figure/narrow spaces that Java's isWhitespace
+    * excludes — listed explicitly. Golden-tested against CPython
+    * (normalize_vectors.json). */
   def normalize(s: String): String = {
-    if (s == null) return ""
-    val lower = s.toLowerCase
+    if (s == null || s.isEmpty) return ""
+    val lower = s.strip().toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(lower.length)
     var i = 0
-    var lastSpace = true
     while (i < lower.length) {
       val c = lower.charAt(i)
       val keep = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        (c >= 'Ͱ' && c <= 'Ͽ') ||
+        (c >= 'ἀ' && c <= '῿') ||
         c == '+' || c == '-' || c == '.' || c == '#' ||
-        (c >= 'α' && c <= 'ω')
-      if (keep) { sb.append(c); lastSpace = false }
-      else if (!lastSpace) { sb.append(' '); lastSpace = true }
+        Character.isWhitespace(c) || c == 0xA0.toChar || c == 0x85.toChar ||
+        c == 0x2007.toChar || c == 0x202F.toChar
+      if (keep) sb.append(c)
       i += 1
     }
-    sb.toString.trim
+    sb.toString
   }
 
-  /** Build the lookup dictionary from (concept_uri, preferred_label) rows. */
+  /** Whitespace-split tokens of the normalized form — the dictionary and
+    * the matcher share this, so n-gram keys are single-space joined
+    * regardless of the whitespace the normalization preserved. */
+  private[extract] def normTokens(s: String): Array[String] = {
+    val n = normalize(s)
+    if (n.isEmpty) Array.empty else n.split("\\s+").filter(_.nonEmpty)
+  }
+
+  /** Build the lookup dictionary from (concept_uri, preferred_label) rows.
+    * Keys are the single-space token joins of the normalized labels (the
+    * matcher builds its n-gram probes the same way). */
   def buildDict(labels: Seq[(String, String)]): Dict = {
     val byNgram = mutable.HashMap.empty[String, mutable.ArrayBuffer[String]]
     val labelOf = mutable.HashMap.empty[String, String]
     var maxN = 1
     labels.foreach { case (uri, label) =>
-      val norm = normalize(label)
-      if (norm.nonEmpty) {
-        byNgram.getOrElseUpdate(norm, mutable.ArrayBuffer.empty) += uri
+      val toks = normTokens(label)
+      if (toks.nonEmpty) {
+        byNgram.getOrElseUpdate(toks.mkString(" "),
+          mutable.ArrayBuffer.empty) += uri
         labelOf(uri) = label
-        val n = norm.count(_ == ' ') + 1
-        if (n > maxN) maxN = n
+        if (toks.length > maxN) maxN = toks.length
       }
     }
     Dict(byNgram.map { case (k, v) => k -> v.toArray.sorted }.toMap,
@@ -70,14 +92,15 @@ object EscoMatcher extends Serializable {
     * tests/test_compare_extracted_skills.py:29-33). */
   /** Diagnostic: total matchUris invocations in this JVM (local mode —
     * driver and executors share it). Lets the crawl round log report
-    * calls/page and catch plan shapes that re-evaluate extraction. */
-  val callCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    * calls/page and catch plan shapes that re-evaluate extraction.
+    * Gated + striped (graft.Prof): unconditionally CAS-ing a shared
+    * AtomicLong from every task thread is measurable contention. */
+  val callCount = new java.util.concurrent.atomic.LongAdder()
 
   def matchUris(dict: Dict, text: String): Seq[String] = {
-    callCount.incrementAndGet()
-    val norm = normalize(text)
-    if (norm.isEmpty) return Nil
-    val tokens = norm.split(' ')
+    if (graft.Prof.enabled) callCount.increment()
+    val tokens = normTokens(text)
+    if (tokens.isEmpty) return Nil
     val hits = mutable.TreeSet.empty[String]
     var i = 0
     while (i < tokens.length) {

@@ -100,6 +100,11 @@ object Ratio extends Serializable {
     * equal-length windows of the longer anchored at difflib matching
     * blocks — fuzzywuzzy's exact published algorithm (for each block
     * (i,j,size): window starts at max(0, j-i)), NOT an all-window scan.
+    * fuzzywuzzy iterates get_matching_blocks() INCLUDING the terminal
+    * zero-size sentinel (len(s), len(l), 0), which anchors one extra
+    * window at the tail max(0, |l|-|s|) — omitting it undershoots ~0.6%
+    * of random pairs (e.g. fuzzywuzzy("abbb c","bcc")=67 without-tail=40),
+    * so the sentinel window is scored explicitly below.
     * Block anchoring is both the reference-faithful semantics and ~|l|/B
     * cheaper per call (B = block count); golden-tested against a CPython
     * replication. Divergence note: fuzzywuzzy's SequenceMatcher defaults
@@ -114,14 +119,15 @@ object Ratio extends Serializable {
     // with ratio 100, the maximum
     if (l.contains(s)) return 100
     var best = 0
-    matchingBlockList(s, l).foreach { case (i, j, _) =>
-      if (best < 100) {
-        val start = math.max(0, j - i)
-        val sub = l.substring(start, math.min(l.length, start + s.length))
-        val r = ratio(s, sub)
-        if (r > best) best = r
-      }
+    def scoreWindow(start0: Int): Unit = if (best < 100) {
+      val start = math.max(0, start0)
+      val sub = l.substring(start, math.min(l.length, start + s.length))
+      val r = ratio(s, sub)
+      if (r > best) best = r
     }
+    matchingBlockList(s, l).foreach { case (i, j, _) => scoreWindow(j - i) }
+    // the sentinel block (|s|, |l|, 0) fuzzywuzzy also visits
+    scoreWindow(l.length - s.length)
     best
   }
 

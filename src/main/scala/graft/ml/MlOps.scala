@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{CountVectorizer, IDF, PCA, Tokenizer}
 import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,60 @@ object MlOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Sparse-vector bucket signature: the same deterministic hyperplane
+    * family as graft.similarity.Ann, with the plane dot taken over the
+    * vector's NON-ZERO components only — O(nnz × planes × tables) per
+    * doc regardless of vocabulary size, so a 10^6-term vocabulary costs
+    * the same as this 4096-term one. */
+  def sparseSignature(v: Vector, table: Int): Int = {
+    import graft.similarity.Ann
+    var sig = 0
+    var p = 0
+    while (p < Ann.NumPlanes) {
+      var dot = 0.0
+      v.foreachActive((j, x) => dot += Ann.planeComponent(table, p, j) * x)
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** F25 scale twin: TF-IDF top-k via random-hyperplane LSH buckets —
+    * candidates come from a (table, signature) equi-join instead of the
+    * crossJoin qTfidfSimilar uses, so the corpus is scanned once (× the
+    * table count) and never paired all-against-all. Recall < 1 by
+    * construction; MlSpec pins a floor against the brute-force twin. */
+  def tfidfLshTopK(vecs: DataFrame, queryIds: Column, k: Int): DataFrame = {
+    import graft.similarity.Ann
+    val sigUdf = udf((v: Vector, t: Int) => sparseSignature(v, t))
+    def bucketize(df: DataFrame, idCol: String, vecCol: String) =
+      df.withColumn("table", explode(lit((0 until Ann.NumTables).toArray)))
+        .withColumn("sig", sigUdf(col(vecCol), col("table")))
+        .select(col("table"), col("sig"), col(idCol), col(vecCol))
+    val qb = bucketize(vecs.filter(queryIds)
+      .select(col("doc_id").as("query_id"), col("tfidf").as("qv")),
+      "query_id", "qv")
+    val cb = bucketize(vecs
+      .select(col("doc_id").as("similar_id"), col("tfidf").as("cv")),
+      "similar_id", "cv")
+    val cands = cb.join(broadcast(qb), Seq("table", "sig"))
+      .filter(col("query_id") =!= col("similar_id"))
+      .dropDuplicates("query_id", "similar_id")
+      .withColumn("cos", round(cosineVec(col("cv"), col("qv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("similar_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("similar_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qTfidfLsh: (SparkSession, String) => DataFrame = (s, dir) => {
+    val vecs = tfidf(t(s, dir, "documents"))
+      .select(col("doc_id"), col("tfidf"))
+    tfidfLshTopK(vecs, col("doc_id") < 5, 5)
+  }
+
   /** F26: KMeans(seed=42) over the embeddings + PCA(2) coordinates —
     * cluster sizes + per-cluster PCA centroid (stable summary). */
   val qKmeansClusters: (SparkSession, String) => DataFrame = (s, dir) => {
@@ -114,6 +168,7 @@ object MlOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf_similar" -> qTfidfSimilar,
+    "q_tfidf_lsh" -> qTfidfLsh,
     "q_kmeans_clusters" -> qKmeansClusters,
     "q_composite_score" -> qCompositeScore)
 

@@ -81,12 +81,15 @@ object Ann {
   val NumTables = 8
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p in
-    * table t = mix-based uniform in [-1,1). Seeded — no RNG state. */
+    * table t = mix-based uniform in [-1,1). Seeded — no RNG state.
+    * Exposed per-component so SPARSE vectors (e.g. TF-IDF) can take the
+    * plane dot over their non-zero indices only (graft.ml.MlOps). */
+  def planeComponent(table: Int, p: Int, j: Int): Double =
+    Synth.mix(table.toLong * 1000003L + p * 8191L + j).toDouble /
+      Long.MaxValue.toDouble
+
   def plane(table: Int, p: Int, dim: Int): Array[Double] =
-    Array.tabulate(dim) { j =>
-      val v = Synth.mix(table.toLong * 1000003L + p * 8191L + j)
-      (v.toDouble / Long.MaxValue.toDouble)
-    }
+    Array.tabulate(dim)(planeComponent(table, p, _))
 
   /** Bucket signature of a vector in one table: sign bits vs each plane. */
   def signature(vec: Seq[Double], table: Int): Int = {

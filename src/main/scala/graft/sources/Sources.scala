@@ -22,7 +22,12 @@ object Sources {
 
   /** S3: lenient JSON-dir read. Returns (good, corrupt) — corrupt rows
     * carry the raw line in `_corrupt_record` (the error side-channel
-    * replacing per-row savepoints). */
+    * replacing per-row savepoints).
+    *
+    * Cache lifecycle: the parse runs ONCE (the (good, corrupt) split is
+    * materialized eagerly via localCheckpoint while the parsed frame is
+    * cached), and the cache is dropped before returning — an import-time
+    * source must not leak a cached plan per call (round-2 finding). */
   def jsonDir(spark: SparkSession, dir: String,
       schema: Option[StructType] = None,
       multiLine: Boolean = true): (DataFrame, DataFrame) = {
@@ -36,12 +41,15 @@ object Sources {
       case None => base
     }
     val df = withSchema.json(dir).cache()
-    if (!df.columns.contains("_corrupt_record"))
-      (df, spark.emptyDataFrame)
-    else
-      (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
-        df.filter(col("_corrupt_record").isNotNull)
-          .select(col("_corrupt_record")))
+    try {
+      if (!df.columns.contains("_corrupt_record"))
+        (df.localCheckpoint(true), spark.emptyDataFrame)
+      else
+        (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+          .localCheckpoint(true),
+          df.filter(col("_corrupt_record").isNotNull)
+            .select(col("_corrupt_record")).localCheckpoint(true))
+    } finally df.unpersist()
   }
 
   /** S4/S5: CSV source with header aliases and quote/whitespace cleanup.

@@ -89,7 +89,7 @@ object RoundBench {
           if (mode == "join") fetched.unpersist()
         }
     }
-    println("[roundbench] matchCalls=" + EscoMatcher.callCount.get())
+    println("[roundbench] matchCalls=" + EscoMatcher.callCount.sum())
     spark.stop()
   }
 }

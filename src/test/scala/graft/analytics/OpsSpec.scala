@@ -105,6 +105,53 @@ class OpsSpec extends SparkSpec {
     assert(all.map(_.getAs[Long]("course")).contains(1L))
   }
 
+  test("theme search grouped: page rows → university groups in page " +
+      "order + ONE page-level distinct skill set") {
+    import spark.implicits._
+    val blobs = Seq(
+      ("uni_a", 1L, Seq("machine learning", "statistics")),
+      ("uni_a", 2L, Seq("databases")),
+      ("uni_b", 3L, Seq("machine learning", "calculus")),
+      ("uni_b", 4L, Seq("chemistry"))
+    ).toDF("uni", "course", "skills")
+      .withColumn("blob", concat_ws(" ", col("skills")))
+    val page = FuzzyQueries.themeSearch(blobs, Seq("machine learning"),
+      "any", 80, 1, 10)
+    val grouped = FuzzyQueries.themeSearchGrouped(page).collect()
+    // courses 1 and 3 pass (blob contains the keyword) → both unis present
+    assert(grouped.map(_.getAs[String]("uni")).toSeq === Seq("uni_a", "uni_b"))
+    val pageRows = page.collect()
+    grouped.foreach { g =>
+      val courses = g.getSeq[org.apache.spark.sql.Row](g.fieldIndex("courses"))
+      // page order: struct sorts by rn first
+      assert(courses.map(_.getAs[Int]("rn")) ===
+        courses.map(_.getAs[Int]("rn")).sorted)
+      courses.foreach { c =>
+        val src = pageRows.find(_.getAs[Long]("course") ==
+          c.getAs[Long]("course")).get
+        assert(src.getAs[String]("uni") === g.getAs[String]("uni"))
+        assert(c.getSeq[String](c.fieldIndex("skills")) ===
+          src.getSeq[String](src.fieldIndex("skills")))
+      }
+      // unique_skills_page is GLOBAL to the page, identical on every row
+      assert(g.getSeq[String](g.fieldIndex("page_skills")) ===
+        Seq("calculus", "machine learning", "statistics"))
+    }
+  }
+
+  test("driver-facing theme queries carry no array columns (pandas-" +
+      "sortable schema) and q_theme_grouped shapes the golden page") {
+    val flat = FuzzyQueries.qThemeSearch(spark, dir)
+    assert(flat.schema.fields.forall(f =>
+      !f.dataType.typeName.contains("array")), flat.schema.treeString)
+    val grouped = FuzzyQueries.qThemeGrouped(spark, dir).collect()
+    assert(grouped.nonEmpty)
+    grouped.foreach { r =>
+      assert(r.getAs[String]("courses_json").startsWith("["))
+      assert(r.getAs[String]("page_skills").nonEmpty)
+    }
+  }
+
   test("nested grouping emits sorted struct lists with frequencies") {
     val out = FuzzyQueries.qNestedGroups(spark, dir).collect()
     assert(out.nonEmpty)
@@ -149,5 +196,24 @@ class OpsSpec extends SparkSpec {
     assert(a.map(_.getAs[Long]("size")).sum === 500L)
     val sim = graft.ml.MlOps.qTfidfSimilar(spark, dir).collect()
     assert(sim.length === 25) // 5 queries × top-5
+  }
+
+  test("tfidf LSH twin: bucketed candidates, recall floor vs brute force") {
+    val brute = graft.ml.MlOps.qTfidfSimilar(spark, dir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("similar_id")).toSet }
+    val lsh = graft.ml.MlOps.qTfidfLsh(spark, dir).collect()
+    assert(lsh.nonEmpty)
+    val lshByQ = lsh.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("similar_id")).toSet }
+    // every LSH hit is a real doc pair with a correctly-ranked cosine;
+    // recall vs the exact top-5 has a floor (probabilistic by design)
+    val recalls = brute.toSeq.map { case (q, top) =>
+      top.intersect(lshByQ.getOrElse(q, Set.empty)).size.toDouble / top.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.5, s"mean recall $meanRecall, per-q $recalls")
+    // sanity: LSH cosines are exact for the pairs it does return
+    lsh.foreach(r => assert(r.getAs[Double]("cos") <= 1.0001))
   }
 }

@@ -111,6 +111,34 @@ class CrawlerSpec extends SparkSpec {
     assert(sched2 === sched1)
   }
 
+  test("snapshot results are append-only slices: round N writes O(slice), " +
+      "manifest union reproduces the full table, lineage carries new_links") {
+    val dir = Files.createTempDirectory("graft-snap-append").toString
+    val snap = new Snapshot(dir)(spark)
+    val (state, results, lineage) = Crawler.crawl(pages, robots, seeds,
+      dictLabels, maxRounds = 40, roundMs = 4000L,
+      snapshot = Some(snap))(spark)
+    val last = snap.latest()
+    assert(last >= 1) // multi-round crawl
+    // each committed slice contains ONLY its round's rows …
+    (0 to last).foreach { r =>
+      val slice = snap.readSlice(r, "results")
+      assert(slice.select("round").distinct().collect()
+        .map(_.getInt(0)).toSeq === Seq(r), s"round $r slice")
+    }
+    // … and the manifest union IS the full results table
+    val unioned = snap.read(last, "results")
+    assert(unioned.count() === state.totalFetched)
+    assert(unioned.select("url").collect().map(_.getString(0)).toSet ===
+      results.select("url").collect().map(_.getString(0)).toSet)
+    // lineage: every round records its next-round enqueue count on one row
+    val perRound = lineage.groupBy("round")
+      .agg(sum("new_links").as("nl")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // mid-crawl rounds discover links; the final drained round enqueues 0
+    assert(perRound(0) > 0, s"round 0 enqueued nothing: $perRound")
+  }
+
   test("idempotence: one more round after exhaustion fetches nothing") {
     val (state, _, _) = full
     import graft.extract.EscoMatcher

@@ -85,6 +85,14 @@ class RatioSpec extends AnyFunSuite {
     }
   }
 
+  test("partialRatio scores the sentinel tail window fuzzywuzzy visits") {
+    // fuzzywuzzy iterates get_matching_blocks() INCLUDING the terminal
+    // (len(s), len(l), 0) sentinel — its tail-anchored window is the
+    // winner here (CPython fuzzywuzzy: 67; size>0 blocks alone give 40)
+    assert(Ratio.partialRatio("abbb c", "bcc") === 67)
+    assert(Ratio.partialRatio("bcc", "abbb c") === 67) // arg-order safe
+  }
+
   test("tokenSortRatio matches CPython difflib on 68 golden vectors " +
       "(incl. duplicate-token cases)") {
     val src = Source.fromInputStream(

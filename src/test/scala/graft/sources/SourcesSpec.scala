@@ -22,6 +22,10 @@ class SourcesSpec extends SparkSpec {
     assert(good.select("lesson").collect().map(_.getString(0)).sorted
       .toSeq === Seq("Algebra", "Databases"))
     assert(corrupt.count() === 1)
+    // cache lifecycle: an import-time source must not leak cached plans
+    // (each call used to leave one parsed-JSON DataFrame cached forever)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "jsonDir leaked a cached plan")
   }
 
   test("cleanCsv: header aliases + quote stripping (ESCO header variants)") {

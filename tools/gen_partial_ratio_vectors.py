@@ -23,9 +23,10 @@ def partial_ratio(a, b):
         return int(round(sm.ratio() * 100))
     best = 0.0
     sm = difflib.SequenceMatcher(None, s, l, autojunk=False)
+    # fuzzywuzzy iterates ALL blocks including the terminal zero-size
+    # sentinel (len(s), len(l), 0), which anchors the tail window at
+    # max(0, len(l)-len(s)) — do NOT skip size == 0
     for (i, j, size) in sm.get_matching_blocks():
-        if size == 0:
-            continue
         start = max(0, j - i)
         sub = l[start:start + len(s)]
         r = difflib.SequenceMatcher(None, s, sub, autojunk=False).ratio()
