@@ -23,16 +23,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// GC selection: total stop-the-world GC time is a parallelism-independent
+// serial term in the crawl loop (GC threads ≈ hardware threads at every
+// worker count), so it caps local[8]→local[32] scaling efficiency the way
+// a fixed driver cost would. Round-3 A/B on the 208k-url scaling corpus:
+// G1 young pauses alone were ~63 s per crawl; plain ParallelGC (the
+// throughput collector — no concurrent-phase overhead, no region
+// management) ran the same crawl 7-25% faster at identical plans. Default
+// is ParallelGC; override per run via SPARK_GC_OPTS (space-separated JVM
+// flags, e.g. the round-2 G1 young-gen bound
+// "-XX:MaxGCPauseMillis=150 -XX:+UnlockExperimentalVMOptions
+// -XX:G1MaxNewSizePercent=20"). On a real cluster the same choice goes in
+// spark.executor.extraJavaOptions.
+val gcOpts = sys.env.get("SPARK_GC_OPTS").map(_.split("\\s+").toSeq)
+  .getOrElse(Seq("-XX:+UseParallelGC"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Cap G1's young generation: with a 64g heap G1 grows eden to ~60%
-  // of the heap, and the crawl's allocation-heavy extraction rounds
-  // then hit multi-second evacuation pauses that stall every task
-  // thread (measured 1.9-5.7 s young pauses; BASELINE.md round-2 GC
-  // cliff). A bounded young gen trades them for frequent short pauses.
-  "-XX:MaxGCPauseMillis=150",
-  "-XX:+UnlockExperimentalVMOptions",
-  "-XX:G1MaxNewSizePercent=20",
-) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq
+) ++ gcOpts ++
+  sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq

@@ -12,10 +12,45 @@ object ScalingBench {
 
   private def crawlAt(cores: Int, nHosts: Int, basePages: Int,
       richness: Int): (Long, Double) = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+    // GRAFT_LOCAL_CLUSTER=<execMemMb>: run as a pseudo-cluster of
+    // (cores/8) executor JVMs × 8 cores each instead of one local[N]
+    // JVM — the faithful sandbox analog of the north rule's "N vs 4N
+    // executors" criterion: per-executor heaps mean GC work scales with
+    // executor count exactly as on a real cluster, instead of one shared
+    // heap serving every worker thread. Requires `sbt package` first
+    // (executors load app classes from the packaged jar).
+    val localCluster = sys.env.get("GRAFT_LOCAL_CLUSTER").map(_.toInt)
+    val master = localCluster match {
+      case Some(memMb) =>
+        require(cores % 8 == 0, s"local-cluster legs use 8-core executors")
+        s"local-cluster[${cores / 8},8,$memMb]"
+      case None => s"local[$cores]"
+    }
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.adaptive.enabled", "true")
+    val builder = localCluster match {
+      case Some(_) =>
+        val jar = new java.io.File("target/scala-2.13")
+          .listFiles((_, n) => n.endsWith(".jar")).headOption
+          .map(_.getAbsolutePath)
+          .getOrElse(sys.error("run `sbt package` before local-cluster legs"))
+        builder0
+          .config("spark.jars", jar)
+          // local-cluster[n,c,mem] caps the WORKER's memory; the executor
+          // JVM itself still defaults to 1g without this
+          .config("spark.executor.memory",
+            s"${sys.env.get("GRAFT_LOCAL_CLUSTER").get.toInt}m")
+          .config("spark.executor.extraJavaOptions",
+            "-XX:+UseParallelGC")
+      case None => builder0
+    }
+    val spark = builder
+      // GRAFT_AQE=false trades AQE's per-stage driver re-planning (a
+      // serial, round-trip-heavy cost in a 15-round loop of small stages)
+      // for static plans — an A/B knob for the scaling measurement
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(SparkTune.conf)
@@ -42,7 +77,10 @@ object ScalingBench {
     // GRAFT_BLOOM=1 routes the timed crawls through the co-partitioned
     // Bloom-shard seen-set path (same output; CrawlerSpec-proven)
     val bloom = sys.env.get("GRAFT_BLOOM").contains("1")
-    val runs = (1 to 2).map { i =>
+    // GRAFT_REPS overrides the rep count for quick GC/config experiments;
+    // recorded BASELINE.md legs use the default best-of-2
+    val reps = sys.env.get("GRAFT_REPS").map(_.toInt).getOrElse(2)
+    val runs = (1 to reps).map { i =>
       val out = Bench.runCrawl(spark, nHosts, basePages, richness,
         roundMs = 600000L, bloom = bloom)
       System.err.println(s"[scaling] rep$i@$cores: ${out._1} urls in ${out._2} s")

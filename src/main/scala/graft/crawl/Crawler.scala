@@ -96,6 +96,15 @@ object Crawler {
     }
 
     val roundLog = sys.env.get("GRAFT_ROUND_LOG").contains("1")
+    // seen-set compaction cadence (non-snapshot mode). 1 = flat rewrite
+    // every round. A lazy-union variant (compact every 4) was A/B-tested
+    // in round 3 and REGRESSED: between compactions the two per-round
+    // anti-joins re-scan every slice's 32 checkpoint partitions
+    // (~320 extra task launches per round), which costs more wall time
+    // than the one small rewrite job it saves — same conclusion as the
+    // round-2 mmap-churn diagnosis, now with the job-count data.
+    val SeenCompactEvery = 1
+    var seenSinceCompact = 0
     var continue = true
     while (continue && state.round < maxRounds) {
       val t0 = System.nanoTime()
@@ -117,27 +126,35 @@ object Crawler {
         }
         // this round's fetches are disjoint from seen by construction
         // (the round anti-joins before fetching) → plain union, no
-        // distinct shuffle needed. The union is re-checkpointed FLAT
-        // each round: a lazy union would grow by one 32-partition slice
-        // per round, and the two per-round anti-joins against seen then
-        // scan rounds×32 map partitions — measured 200-400 task-seconds
-        // of pure scheduling + mmap churn per round by round 10
-        // (BASELINE.md round-2 notes). The seen set is url_hash only
-        // (8 B/url), so a full rewrite per round is ~3 MB at this
-        // corpus; at 10^10-frontier scale the co-partitioned Bloom
-        // shards carry the prefilter and this exact set lives in an
-        // Iceberg table updated by appending the round's slice instead.
-        val newSeen = state.seenHashes
+        // distinct shuffle needed. The union is kept LAZY for up to
+        // SeenCompactEvery rounds (each member is already a checkpointed
+        // slice, so the plan stays flat — a handful of cached scans) and
+        // re-checkpointed FLAT periodically: compacting EVERY round cost
+        // one extra full-seen job per round (round-3 driver-job census:
+        // per-round scheduling latency was a top term in the serial cost
+        // that caps scaling efficiency), while never compacting grows the
+        // anti-joins' scan fan-in without bound (the round-2 mmap-churn
+        // regression). The seen set is url_hash only (8 B/url); at
+        // 10^10-frontier scale the co-partitioned Bloom shards carry the
+        // prefilter and this exact set lives in an Iceberg table updated
+        // by appending the round's slice instead.
+        seenSinceCompact += 1
+        val seenLazy = state.seenHashes
           .unionByName(slice.select("url_hash").toDF())
-          .coalesce(spark.sparkContext.defaultParallelism)
-          .localCheckpoint(true)
+        val newSeen =
+          if (seenSinceCompact >= SeenCompactEvery) {
+            seenSinceCompact = 0
+            seenLazy.coalesce(spark.sparkContext.defaultParallelism)
+              .localCheckpoint(true)
+          } else seenLazy
         val newTotal = state.totalFetched + out.fetchedCount
         // materialize the next frontier ONCE (it feeds every join of the
-        // next round); counting the checkpointed copy is a metadata-cheap
-        // job and closes the round's lineage: new_links = entries
-        // enqueued for the next round (discovered + deferred + retries),
-        // recorded on the lowest-numbered partition's row
-        val fr = out.nextFrontier.toDF().localCheckpoint(true)
+        // next round) — the LAZY checkpoint is triggered by the count()
+        // below, so materialization + counting is a single job (an eager
+        // checkpoint ran one job and the count a second). new_links =
+        // entries enqueued for the next round (discovered + deferred +
+        // retries), recorded on the lowest-numbered partition's row.
+        val fr = out.nextFrontier.toDF().localCheckpoint(false)
         val enqueued = fr.count()
         val patchedLineage = {
           val rows = out.lineage.collect() // LocalRelation — driver-local

@@ -94,7 +94,34 @@ object Round {
     //    both sides bucketed on url_hash (corpus written bucketed once,
     //    selected set shuffled to match — still never the corpus).
     val sel = selected.toDF().alias("f")
-    val fetched = pages.alias("p")
+
+    // 4. extract text + links + skills + signatures in ONE pipeline over
+    //    the fetch join, cached WITHOUT the html column. Text comes from
+    //    the deterministic extraction UDF over html; byte-identity vs the
+    //    corpus text column is the input_hint invariant (tested;
+    //    TextExtractSpec). The former shape cached the joined html a
+    //    second time (the corpus cache already holds it) and re-parsed
+    //    every page in a separate links UDF — both were top terms in the
+    //    round-3 GC/allocation diagnosis.
+    val matchUris = EscoMatcher.matcherUdf(dict)
+    val labelOf = udf((uris: Seq[String]) =>
+      uris.map(u => dict.value.labelOf.getOrElse(u, u)).sorted)
+    // hash each token exactly once; simhash + shingle/minhash derive from
+    // the primitive hash array (no per-shingle strings, no boxed sets)
+    val signatures = udf((text: String) => graft.Prof.time("sig") {
+      val toks = graft.dedup.Dedup.tokens(text)
+      val hs = graft.dedup.Dedup.tokenHashes(toks)
+      (graft.dedup.Dedup.simhashOfHashes(hs),
+        graft.dedup.Dedup.minhashOfArr(
+          graft.dedup.Dedup.shingleHashesOf(hs)).toSeq,
+        graft.text.TextStats.detectLang(text),
+        toks.length)
+    })
+    // `ex` is referenced twice (text, links); after projection collapse
+    // both land in one Project and whole-stage codegen's subexpression
+    // elimination evaluates the UDF once per row (the round log's
+    // extract-call counter pins calls == fetched pages)
+    val enriched = pages.alias("p")
       .join(broadcast(sel), col("f.url") === col("p.url"))
       .transform { df =>
         if (sys.env.get("GRAFT_PLAN_LOG").contains("1")) System.err.println(
@@ -111,41 +138,25 @@ object Round {
         col("f.host").as("host"), col("f.depth").as("depth"),
         col("p.warc_ts").as("warc_ts"), col("p.html").as("html"),
         col("p.lang").as("lang"))
+      .withColumn("ex", TextExtract.extractTextAndLinks(col("html")))
+      .select(col("url"), col("url_hash"), col("host"), col("depth"),
+        col("warc_ts"), col("lang"),
+        col("ex._1").as("text"), col("ex._2").as("links"))
+      .withColumn("skill_uris", matchUris(col("text")))
+      .withColumn("skill_labels", labelOf(col("skill_uris")))
+      .withColumn("sig", signatures(col("text")))
       .cache()
 
     // misses = selected minus fetched urls (both round-bounded and
     // broadcastable) — NOT an anti-join against the whole corpus
     val missed = sel
-      .join(broadcast(fetched.select(col("url"))), Seq("url"), "left_anti")
+      .join(broadcast(enriched.select(col("url"))), Seq("url"), "left_anti")
       .withColumn("retry_count", col("retry_count") + 1)
       .filter(col("retry_count") < Frontier.MaxRetries)
       .select(Frontier.Cols.map(col): _*)
       .as[FrontierEntry]
 
-    // 4. extract text + skills. Text comes from the deterministic
-    //    extraction UDF over html; byte-identity vs the corpus text column
-    //    is the input_hint invariant (tested; see TextExtractSpec).
-    val matchUris = EscoMatcher.matcherUdf(dict)
-    val labelOf = udf((uris: Seq[String]) =>
-      uris.map(u => dict.value.labelOf.getOrElse(u, u)).sorted)
-    // one pass computing the per-page content signatures (dedup sketches
-    // + language + size) — the per-document work a training-data crawl
-    // does between fetch and write
-    // tokenize once per page: simhash/minhash share the split (the
-    // former 4× re-split of each ~10 KB text was a top allocation site
-    // in the round-2 GC-stall diagnosis, BASELINE.md)
-    val signatures = udf((text: String) => graft.Prof.time("sig") {
-      val toks = graft.dedup.Dedup.tokens(text)
-      (graft.dedup.Dedup.simhashOf(toks),
-        graft.dedup.Dedup.minhashOf(graft.dedup.Dedup.shinglesOf(toks)).toSeq,
-        graft.text.TextStats.detectLang(text),
-        toks.length)
-    })
-    val results = fetched
-      .withColumn("text", TextExtract.extractText(col("html")))
-      .withColumn("skill_uris", matchUris(col("text")))
-      .withColumn("skill_labels", labelOf(col("skill_uris")))
-      .withColumn("sig", signatures(col("text")))
+    val results = enriched
       .withColumn("round", lit(roundNo))
       .select(col("url"), col("url_hash"), col("host"), col("round"),
         col("depth"), col("text"), col("lang"), col("skill_uris"),
@@ -153,7 +164,6 @@ object Round {
         col("sig._2").as("minhash"), col("sig._3").as("lang_pred"),
         col("sig._4").as("n_tokens"))
       .as[CrawlResult]
-      .cache()
     if (sys.env.get("GRAFT_PLAN_LOG").contains("1")) {
       val p = results.queryExecution.executedPlan.toString
       System.err.println(s"[plan round $roundNo] results UDF counts: " +
@@ -193,10 +203,12 @@ object Round {
 
     // 5. link scrape → new frontier candidates (same-host only,
     //    apify.js:156-163), depth+1, dedup'd against seen ∪ this round.
-    val rawLinks = fetched
+    //    Links come from the cached single-parse column — the html is
+    //    not touched again.
+    val rawLinks = enriched
       .select(col("url").as("src_url"), col("host").as("src_host"),
         col("warc_ts"), col("depth"),
-        explode_outer(TextExtract.extractLinks(col("html"))).as("href"))
+        explode_outer(col("links")).as("href"))
       .filter(col("href").isNotNull)
       .withColumn("url", Canonical.resolveUdf(col("src_url"), col("href")))
       .filter(col("url").startsWith("http"))
@@ -217,7 +229,7 @@ object Round {
       candidates)
 
     Output(results, nextFrontier, results.select("url_hash").toDF(),
-      lineage, fetchedCount, Seq(fetched, results.toDF(), rankedCache))
+      lineage, fetchedCount, Seq(enriched, rankedCache))
   }
 
   /** Keyword lists used for candidate scoring — the corpus generator and

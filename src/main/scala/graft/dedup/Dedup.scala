@@ -87,32 +87,62 @@ object Dedup {
   /** 3-token shingle set of a document (lowercased, whitespace-split). */
   def shingles(text: String): Set[Long] = shinglesOf(tokens(text))
 
-  /** Shingle hashes from pre-split tokens. Index loop + one reused
-    * builder instead of `sliding` — sliding's per-window slice/copy was
-    * a top allocation site under jstack sampling at crawl scale. */
-  def shinglesOf(toks: Array[String]): Set[Long] = {
-    val sb = new java.lang.StringBuilder(64)
-    if (toks.length < ShingleSize) {
-      var i = 0
-      while (i < toks.length) {
-        if (i > 0) sb.append(' ')
-        sb.append(toks(i)); i += 1
-      }
-      return Set(Canonical.hash64(sb.toString))
-    }
-    val out = Set.newBuilder[Long]
+  /** Per-token murmur hashes, computed once and shared by the whole
+    * signature family (simhash bits, shingle hashes). The former scheme
+    * hashed every token for simhash AND built+hashed a String per shingle
+    * window for minhash — ~4k short-lived objects per 2k-token page, a
+    * top contributor to the multi-GB/s allocation rate that made GC the
+    * dominant serial term in the round-3 scaling diagnosis. */
+  def tokenHashes(toks: Array[String]): Array[Long] = {
+    val out = new Array[Long](toks.length)
     var i = 0
-    while (i + ShingleSize <= toks.length) {
-      sb.setLength(0)
+    while (i < toks.length) { out(i) = Canonical.hash64(toks(i)); i += 1 }
+    out
+  }
+
+  private val ShingleSeed = 0x9E3779B97F4A7C15L
+
+  /** Sorted, deduplicated shingle hashes from per-token hashes: each
+    * 3-token window's hash is an order-sensitive mix of its token hashes
+    * (no string building). Short docs (< ShingleSize tokens) hash the
+    * whole token sequence as one shingle — same fallback shape as the
+    * original string-join construction. Primitive arrays end-to-end:
+    * the boxed `Set[Long]` builder was half the signature path's garbage. */
+  def shingleHashesOf(hs: Array[Long]): Array[Long] = {
+    val n = hs.length
+    if (n < ShingleSize) {
+      var h = ShingleSeed
+      var i = 0
+      while (i < n) { h = graft.corpus.Synth.mix(h ^ hs(i)); i += 1 }
+      return Array(h)
+    }
+    val raw = new Array[Long](n - ShingleSize + 1)
+    var i = 0
+    while (i + ShingleSize <= n) {
+      var h = ShingleSeed
       var j = 0
-      while (j < ShingleSize) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j)); j += 1
-      }
-      out += Canonical.hash64(sb.toString)
+      while (j < ShingleSize) { h = graft.corpus.Synth.mix(h ^ hs(i + j)); j += 1 }
+      raw(i) = h
       i += 1
     }
-    out.result()
+    java.util.Arrays.sort(raw)
+    var w = 1; var r = 1
+    while (r < raw.length) {
+      if (raw(r) != raw(r - 1)) { raw(w) = raw(r); w += 1 }
+      r += 1
+    }
+    if (w == raw.length) raw else java.util.Arrays.copyOf(raw, w)
+  }
+
+  /** Shingle hashes from pre-split tokens (Set view — the exact-Jaccard
+    * verify paths intersect these; the crawl signature path uses the
+    * primitive-array form directly). */
+  def shinglesOf(toks: Array[String]): Set[Long] = {
+    val arr = shingleHashesOf(tokenHashes(toks))
+    val b = Set.newBuilder[Long]
+    var i = 0
+    while (i < arr.length) { b += arr(i); i += 1 }
+    b.result()
   }
 
   /** MinHash signature: numHashes permutations simulated by mixing the
@@ -130,6 +160,24 @@ object Dedup {
         if (v < sig(i)) sig(i) = v
         i += 1
       }
+    }
+    sig
+  }
+
+  /** MinHash over primitive shingle hashes (crawl signature path —
+    * identical values to the Set form on the same hashes). */
+  def minhashOfArr(sh: Array[Long]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var k = 0
+    while (k < sh.length) {
+      val h = sh(k)
+      var i = 0
+      while (i < NumHashes) {
+        val v = graft.corpus.Synth.mix(h ^ (0x1000003L * (i + 1)))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      k += 1
     }
     sig
   }
@@ -200,15 +248,23 @@ object Dedup {
   def simhash(text: String): Long = simhashOf(tokens(text))
 
   /** SimHash over pre-split tokens (tokenize-once path). */
-  def simhashOf(toks: Array[String]): Long = {
+  def simhashOf(toks: Array[String]): Long =
+    simhashOfHashes(tokenHashes(toks))
+
+  /** SimHash from precomputed token hashes — identical values to
+    * `simhashOf` (it hashes tokens the same way), shared with the
+    * minhash path so each token is hashed exactly once per page. */
+  def simhashOfHashes(hs: Array[Long]): Long = {
     val counts = new Array[Int](64)
-    toks.foreach { tok =>
-      val h = Canonical.hash64(tok)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
+      i += 1
     }
     var out = 0L
     var b = 0

@@ -26,7 +26,21 @@ object EscoMatcher extends Serializable {
   final case class Dict(
       byNgram: Map[String, Array[String]], // normalized label -> concept uris
       labelOf: Map[String, String],        // concept uri -> preferred label
-      maxN: Int)
+      maxN: Int) {
+    /** First tokens of all dictionary keys: the matcher probes a position
+      * only when its token opens at least one label, so ~95% of text
+      * positions cost one hash lookup on an existing token string and
+      * build no probe strings at all (round-3 allocation diagnosis: the
+      * unconditional n-gram probes built ~maxN strings per token). */
+    @transient lazy val firstTokens: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      byNgram.keysIterator.foreach { k =>
+        val sp = k.indexOf(' ')
+        s.add(if (sp < 0) k else k.substring(0, sp))
+      }
+      s
+    }
+  }
 
   /** Exact `_normalize_skill` semantics
     * (/root/reference/recommendation_system/backend/student_recommender.py:37-41):
@@ -101,16 +115,22 @@ object EscoMatcher extends Serializable {
     if (graft.Prof.enabled) callCount.increment()
     val tokens = normTokens(text)
     if (tokens.isEmpty) return Nil
+    val first = dict.firstTokens
     val hits = mutable.TreeSet.empty[String]
+    val sb = new java.lang.StringBuilder(48)
     var i = 0
     while (i < tokens.length) {
-      var n = 1
-      val sb = new java.lang.StringBuilder()
-      while (n <= dict.maxN && i + n <= tokens.length) {
-        if (n > 1) sb.append(' ')
-        sb.append(tokens(i + n - 1))
-        dict.byNgram.get(sb.toString).foreach(_.foreach(hits.add))
-        n += 1
+      // positions whose token opens no dictionary label are skipped with
+      // a single set probe — no n-gram strings are built for them
+      if (first.contains(tokens(i))) {
+        sb.setLength(0)
+        var n = 1
+        while (n <= dict.maxN && i + n <= tokens.length) {
+          if (n > 1) sb.append(' ')
+          sb.append(tokens(i + n - 1))
+          dict.byNgram.get(sb.toString).foreach(_.foreach(hits.add))
+          n += 1
+        }
       }
       i += 1
     }

@@ -1,6 +1,7 @@
 package graft.extract
 
 import java.nio.charset.StandardCharsets
+import java.util.regex.Pattern
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 import scala.collection.mutable
@@ -33,6 +34,14 @@ import scala.util.matching.Regex
   *      a sentence seen before (ci, anywhere in the doc) is dropped;
   *      sentences rejoin with " ".
   *  10. join lines with "\n".
+  *
+  * Hot-path notes (round-3 GC diagnosis — extraction garbage was a top
+  * term in the serial GC cost that capped crawl scaling efficiency):
+  * every per-call `String.replaceAll`/`String.split` compiled a fresh
+  * Pattern; the entity chain made up to 6 full copies per block; and the
+  * separate text/links UDFs each decoded + banner-stripped + scoped the
+  * same html. All patterns are precompiled, clean strings pass through
+  * untouched, and `extractAll` parses once for both outputs.
   */
 object TextExtract extends Serializable {
 
@@ -48,32 +57,85 @@ object TextExtract extends Serializable {
   private val cellRx: Regex = "(?is)<(th|td)\\b[^>]*>(.*?)</\\1>".r
   private val ddRx: Regex = "(?is)^\\s*<dd\\b[^>]*>(.*?)</dd>".r
   private val tagRx: Regex = "(?s)<[^>]*>".r
-  private val sentenceSplit = "(?<=[.!?]) "
+
+  // precompiled equivalents of the former per-call replaceAll/split
+  private val wsRunPat: Pattern = Pattern.compile("[\\s ]+")
+  private val spaceTabPat: Pattern = Pattern.compile("[ \t]{2,}")
+  private val sentencePat: Pattern = Pattern.compile("(?<=[.!?]) ")
+
+  /** `s.replaceAll("[\\s ]+", " ").trim` with a zero-copy pass-through
+    * when the string is already collapsed+trimmed (the common case for
+    * generated and well-formed pages). */
+  private def collapseTrim(s: String): String = {
+    val n = s.length
+    var clean = n == 0 || (s.charAt(0) > ' ' && s.charAt(n - 1) > ' ')
+    var i = 0
+    while (clean && i < n) {
+      val c = s.charAt(i)
+      if (c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r')
+        clean = false
+      else if (c == ' ' && i + 1 < n && s.charAt(i + 1) == ' ')
+        clean = false
+      i += 1
+    }
+    if (clean) s
+    else wsRunPat.matcher(s).replaceAll(" ").trim
+  }
+
+  /** `l.replaceAll("[ \t]{2,}", " ").trim` with the same pass-through. */
+  private def collapseSpaceTab(l: String): String = {
+    val n = l.length
+    if (n == 0) return l
+    var clean = l.charAt(0) > ' ' && l.charAt(n - 1) > ' '
+    var i = 0
+    while (clean && i < n - 1) {
+      val c = l.charAt(i)
+      if ((c == ' ' || c == '\t') &&
+          (l.charAt(i + 1) == ' ' || l.charAt(i + 1) == '\t'))
+        clean = false
+      i += 1
+    }
+    if (clean && l.indexOf('\t') < 0) l
+    else spaceTabPat.matcher(l).replaceAll(" ").trim
+  }
 
   /** Strip tags, decode the five basic entities, collapse whitespace.
     * Inline tags vanish without inserting space (DOM textContent
-    * semantics for <a>/<strong> inside a paragraph). */
+    * semantics for <a>/<strong> inside a paragraph). Entity decoding
+    * keeps the original cascading .replace chain order (so "&amp;lt;"
+    * still decodes in two steps) but is skipped entirely when no '&'
+    * is present. */
   def textContent(html: String): String = {
-    val noTags = tagRx.replaceAllIn(html, "")
-    val decoded = noTags
-      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
-    decoded.replaceAll("[\\s ]+", " ").trim
+    val noTags =
+      if (html.indexOf('<') < 0) html
+      else tagRx.replaceAllIn(html, "")
+    val decoded =
+      if (noTags.indexOf('&') < 0) noTags
+      else noTags
+        .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+    collapseTrim(decoded)
   }
 
   def extract(htmlBytes: Array[Byte]): String =
     extract(new String(htmlBytes, StandardCharsets.UTF_8))
 
-  def extract(html: String): String = {
-    if (html == null) return ""
-    // 1-2: strip script/style and cookie banners
+  /** Decode + strip script/style/banners + scope — the shared front half
+    * of text and link extraction. */
+  private def scopeOf(html: String): String = {
     var doc = scriptStyleRx.replaceAllIn(html, " ")
     doc = bannerRx.replaceAllIn(doc, " ")
-    // 3: scope
-    val scope = mainRx.findFirstMatchIn(doc).map(_.group(1))
+    mainRx.findFirstMatchIn(doc).map(_.group(1))
       .orElse(bodyRx.findFirstMatchIn(doc).map(_.group(1)))
       .getOrElse(doc)
+  }
 
+  def extract(html: String): String = {
+    if (html == null) return ""
+    extractScoped(scopeOf(html))
+  }
+
+  private def extractScoped(scope: String): String = {
     // 4-6: walk blocks in document order, grouped narrative/table/kv
     val narrative = mutable.ArrayBuffer.empty[String]
     val tableRows = mutable.ArrayBuffer.empty[String]
@@ -103,7 +165,7 @@ object TextExtract extends Serializable {
 
     // 7: clean
     val raw = (narrative ++ tableRows ++ kvLines).iterator
-      .map(_.replaceAll("[ \t]{2,}", " ").trim)
+      .map(collapseSpaceTab)
       .filter(_.nonEmpty)
       .filterNot(_.toLowerCase.contains("skip to content"))
       .toSeq
@@ -115,7 +177,7 @@ object TextExtract extends Serializable {
     // 9: phrase dedup across the doc
     val seenPhrases = mutable.HashSet.empty[String]
     val out = dedupLines.iterator.map { line =>
-      line.split(sentenceSplit).iterator
+      sentencePat.split(line).iterator
         .filter(s => seenPhrases.add(s.toLowerCase))
         .mkString(" ")
     }.filter(_.nonEmpty).toSeq
@@ -128,27 +190,39 @@ object TextExtract extends Serializable {
     * the caller (mirrors /root/reference/apify.js:120-143 link scrape). */
   private val hrefRx: Regex = "(?is)<a\\b[^>]*href=\"([^\"]*)\"[^>]*>".r
 
-  def links(html: String): Seq[String] = {
-    if (html == null) return Nil
-    var doc = scriptStyleRx.replaceAllIn(html, " ")
-    doc = bannerRx.replaceAllIn(doc, " ")
-    val scope = mainRx.findFirstMatchIn(doc).map(_.group(1))
-      .orElse(bodyRx.findFirstMatchIn(doc).map(_.group(1)))
-      .getOrElse(doc)
+  private def linksScoped(scope: String): Seq[String] =
     hrefRx.findAllMatchIn(scope).map(_.group(1).trim)
       .filter(h => h.nonEmpty && !h.startsWith("#") &&
         !h.startsWith("javascript:") && !h.startsWith("mailto:") &&
         !h.startsWith("tel:"))
       .toSeq
+
+  def links(html: String): Seq[String] = {
+    if (html == null) return Nil
+    linksScoped(scopeOf(html))
   }
 
   def links(htmlBytes: Array[Byte]): Seq[String] =
     links(new String(htmlBytes, StandardCharsets.UTF_8))
 
+  /** Text AND links from one decode + one banner-strip + one scope pass —
+    * the crawl round's fetch pipeline needs both, and the separate UDFs
+    * each paid the full front half per page. Outputs are byte-identical
+    * to `extract` / `links` (TextExtractSpec asserts it). */
+  def extractAll(htmlBytes: Array[Byte]): (String, Seq[String]) = {
+    if (htmlBytes == null) return ("", Nil)
+    val scope = scopeOf(new String(htmlBytes, StandardCharsets.UTF_8))
+    (extractScoped(scope), linksScoped(scope))
+  }
+
   // ---- Column UDFs ----
   val extractUdf = udf((b: Array[Byte]) => graft.Prof.time("extract")(extract(b)))
   val linksUdf = udf((b: Array[Byte]) => graft.Prof.time("links")(links(b)))
+  val extractAllUdf = udf((b: Array[Byte]) =>
+    graft.Prof.time("extract")(extractAll(b)))
 
   def extractText(c: Column): Column = extractUdf(c)
   def extractLinks(c: Column): Column = linksUdf(c)
+  /** struct(_1 = text, _2 = links) in one parse. */
+  def extractTextAndLinks(c: Column): Column = extractAllUdf(c)
 }

@@ -88,17 +88,62 @@ object TextStats {
   private val MarkerSets: Array[(String, Set[String])] =
     LangMarkers.toSeq.sortBy(_._1).map { case (l, m) => (l, m.toSet) }.toArray
 
-  def detectLang(text: String): String = {
-    if (text == null || text.isEmpty) return "und"
-    val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
-    var bestLang = "und"; var bestCount = 0
+  // marker → bitmask over MarkerSets indices, plus the longest marker:
+  // the detector walks letter runs in place and only materializes a token
+  // string when the run is short enough to possibly be a marker — the
+  // former full-text lowercase + regex split allocated a text-sized copy
+  // plus one String per token per page (third such pass in the crawl's
+  // signature UDF; round-3 GC diagnosis)
+  private val MarkerMask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
     var i = 0
     while (i < MarkerSets.length) {
-      val (lang, m) = MarkerSets(i)
-      var c = 0; var j = 0
-      while (j < toks.length) { if (m.contains(toks(j))) c += 1; j += 1 }
-      if (c > bestCount) { bestLang = lang; bestCount = c } // ties: first
+      MarkerSets(i)._2.foreach { w =>
+        m.merge(w, Integer.valueOf(1 << i),
+          (a, b) => Integer.valueOf(a.intValue | b.intValue))
+      }
       i += 1
+    }
+    m
+  }
+  private val MaxMarkerLen: Int =
+    LangMarkers.valuesIterator.flatten.map(_.length).max
+
+  /** Marker-count argmax over letter runs. Semantics match the original
+    * lowercase-then-split-on-`[^\p{L}]+` formulation: runs of
+    * `Character.isLetter` chars are the tokens, each lowercased in
+    * isolation (locale rules like Greek final sigma see the same
+    * within-word context either way); ties break to the alphabetically
+    * first language. */
+  def detectLang(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val counts = new Array[Int](MarkerSets.length)
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      if (Character.isLetter(text.charAt(i))) {
+        var j = i + 1
+        while (j < n && Character.isLetter(text.charAt(j))) j += 1
+        if (j - i <= MaxMarkerLen) {
+          val mask = MarkerMask.get(text.substring(i, j).toLowerCase)
+          if (mask != null) {
+            var k = 0; var m = mask.intValue
+            while (m != 0) {
+              if ((m & 1) != 0) counts(k) += 1
+              k += 1; m >>>= 1
+            }
+          }
+        }
+        i = j
+      } else i += 1
+    }
+    var bestLang = "und"; var bestCount = 0
+    var k = 0
+    while (k < counts.length) {
+      if (counts(k) > bestCount) {
+        bestLang = MarkerSets(k)._1; bestCount = counts(k)
+      }
+      k += 1
     }
     if (bestCount == 0) "und" else bestLang
   }

@@ -106,9 +106,76 @@ object Canonical extends Serializable {
 
   /** MurmurHash3 x64-128, first 64-bit half, over the canonical URL's
     * UTF-8 bytes. Public-domain algorithm (Austin Appleby's MurmurHash3,
-    * x64_128 variant). */
-  def hash64(canonicalUrl: String): Long =
-    murmur128(canonicalUrl.getBytes("UTF-8"), 0L)._1
+    * x64_128 variant).
+    *
+    * ASCII fast path: for pure-ASCII input (every URL and nearly every
+    * token this engine hashes) the UTF-8 bytes ARE the low bytes of the
+    * chars, so the hash is computed straight off the String with zero
+    * allocation — the former unconditional `getBytes` + tuple return
+    * allocated 2 objects per call × ~4k calls per page in the signature
+    * path (round-3 GC diagnosis). Values are identical on both paths
+    * (CanonicalSpec pins them against Guava). */
+  def hash64(canonicalUrl: String): Long = {
+    val s = canonicalUrl
+    val len = s.length
+    var i = 0
+    var ascii = true
+    while (ascii && i < len) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) murmur128AsciiH1(s, 0L)
+    else murmur128(s.getBytes("UTF-8"), 0L)._1
+  }
+
+  /** h1 of murmur3 x64-128 over an ASCII string, allocation-free.
+    * Byte-for-byte identical to `murmur128(s.getBytes("UTF-8"), seed)._1`
+    * when every char < 0x80. */
+  def murmur128AsciiH1(s: CharSequence, seed: Long): Long = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    val len = s.length
+    var h1 = seed
+    var h2 = seed
+    val nblocks = len / 16
+
+    @inline def getLong(i: Int): Long = {
+      var v = 0L
+      var j = 7
+      while (j >= 0) { v = (v << 8) | (s.charAt(i + j) & 0xffL); j -= 1 }
+      v
+    }
+    @inline def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+
+    var b = 0
+    while (b < nblocks) {
+      var k1 = getLong(b * 16)
+      var k2 = getLong(b * 16 + 8)
+      k1 *= c1; k1 = rotl(k1, 31); k1 *= c2; h1 ^= k1
+      h1 = rotl(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
+      k2 *= c2; k2 = rotl(k2, 33); k2 *= c1; h2 ^= k2
+      h2 = rotl(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5L
+      b += 1
+    }
+
+    var k1 = 0L
+    var k2 = 0L
+    val tail = nblocks * 16
+    val rem = len & 15
+    if (rem >= 9) {
+      var j = rem - 1
+      while (j >= 8) { k2 ^= (s.charAt(tail + j) & 0xffL) << ((j - 8) * 8); j -= 1 }
+      k2 *= c2; k2 = rotl(k2, 33); k2 *= c1; h2 ^= k2
+    }
+    if (rem > 0) {
+      var j = math.min(rem, 8) - 1
+      while (j >= 0) { k1 ^= (s.charAt(tail + j) & 0xffL) << (j * 8); j -= 1 }
+      k1 *= c1; k1 = rotl(k1, 31); k1 *= c2; h1 ^= k1
+    }
+
+    h1 ^= len.toLong; h2 ^= len.toLong
+    h1 += h2; h2 += h1
+    h1 = fmix64(h1); h2 = fmix64(h2)
+    h1 += h2
+    h1
+  }
 
   /** Full 128-bit murmur3 (h1, h2) with the given seed. */
   def murmur128(data: Array[Byte], seed: Long): (Long, Long) = {
