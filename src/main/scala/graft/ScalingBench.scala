@@ -4,9 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** N-vs-4N scaling evidence (BASELINE.md sandbox substitution for the
   * north rule's two-cluster-size criterion): runs the identical crawl
-  * job on the same input at local[8] and local[32] in one JVM
-  * (sequential sessions), prints throughput at both plus
-  * efficiency = (urls/s @32) / (4 × urls/s @8).
+  * job on the same input at two parallelism levels and prints
+  * throughput plus efficiency = (urls/s @32) / (4 × urls/s @8).
+  *
+  * Recorded protocol (BASELINE.md round 3): one leg per process
+  * (`ScalingBench <cores> …` twice — fork gives a fresh JVM each),
+  * in-JVM warmup crawl, GRAFT_REPS=2-3 best-of-N per leg (host noise
+  * swings identical reps up to 3.5×), ParallelGC (build.sbt default).
+  * GRAFT_LOCAL_CLUSTER=<execMemMb> instead runs (cores/8) separate
+  * 8-core executor JVMs — the per-executor-heap analog of real
+  * N-vs-4N executors.
   */
 object ScalingBench {
 
