@@ -66,7 +66,7 @@ object TextExtract extends Serializable {
   /** `s.replaceAll("[\\s ]+", " ").trim` with a zero-copy pass-through
     * when the string is already collapsed+trimmed (the common case for
     * generated and well-formed pages). */
-  private def collapseTrim(s: String): String = {
+  private[extract] def collapseTrim(s: String): String = {
     val n = s.length
     var clean = n == 0 || (s.charAt(0) > ' ' && s.charAt(n - 1) > ' ')
     var i = 0
@@ -83,7 +83,7 @@ object TextExtract extends Serializable {
   }
 
   /** `l.replaceAll("[ \t]{2,}", " ").trim` with the same pass-through. */
-  private def collapseSpaceTab(l: String): String = {
+  private[extract] def collapseSpaceTab(l: String): String = {
     val n = l.length
     if (n == 0) return l
     var clean = l.charAt(0) > ' ' && l.charAt(n - 1) > ' '
