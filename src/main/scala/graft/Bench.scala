@@ -44,8 +44,13 @@ object Bench {
     val (state, _, _) = Crawler.crawl(pages, robots, seeds, dict,
       maxRounds = 60, roundMs = roundMs,
       bloomPrefilter = bloom, bloomCopartition = bloom)
+    val elapsed = (System.nanoTime() - t0) / 1e9
     pages.unpersist()
-    (state.totalFetched, (System.nanoTime() - t0) / 1e9)
+    // in-memory crawls retain each round's enriched cache as its result
+    // slice — drop them (and anything else) between repetitions so
+    // back-to-back crawls in one session don't accumulate storage
+    spark.sharedState.cacheManager.clearCache()
+    (state.totalFetched, elapsed)
   }
 
   def main(args: Array[String]): Unit = {

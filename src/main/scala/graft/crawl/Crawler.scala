@@ -111,19 +111,19 @@ object Crawler {
       val out = Round.run(pages, robots, state.frontier, state.seenHashes,
         dict, state.round, roundMs, bloomPrefilter, bloomCopartition)
       if (out.fetchedCount == 0L) {
-        out.release()
+        out.release(); out.releaseResults()
         continue = false
       } else {
-        // truncate this round's plan ONCE: without it the seen-union plan
-        // embeds each previous round's whole pipeline twice (anti-join +
-        // union) and grows exponentially with rounds. In snapshot mode
-        // the results cache itself is the slice — it is written to the
-        // round's parquet dir below and the parquet read becomes the
-        // durable handle, so no extra checkpoint copy is needed.
-        val slice = snapshot match {
-          case Some(_) => out.results
-          case None => out.results.localCheckpoint(true)
-        }
+        // the round's enriched cache IS the slice in both modes — in
+        // snapshot mode it is written to the round's parquet dir below
+        // (the parquet read becomes the durable handle and the cache is
+        // released), in-memory mode retains the cache itself until the
+        // crawl ends. The former in-memory localCheckpoint re-copied
+        // every round's full results (one O(slice) pass per round inside
+        // the measured window) for no correctness gain: the seen set and
+        // frontier are checkpointed separately, so plans stay flat either
+        // way, and the caches hold the same bytes the checkpoint would.
+        val slice = out.results
         // this round's fetches are disjoint from seen by construction
         // (the round anti-joins before fetching) → plain union, no
         // distinct shuffle needed. The union is kept LAZY for up to
@@ -189,9 +189,13 @@ object Crawler {
             state = CrawlState(state.round + 1, fr.as[FrontierEntry],
               newSeen, newTotal)
         }
-        // everything derived from this round's caches (results slice,
-        // next frontier) is materialized above — release them now
+        // scratch caches (ranked frontier) are fully consumed above; the
+        // enriched cache is released here only in snapshot mode (the
+        // parquet slice replaces it) — in-memory mode it IS the slice and
+        // lives until the caller drops it (Bench clears the cache manager
+        // between reps; specs run at fixture scale)
         out.release()
+        if (snapshot.isDefined) out.releaseResults()
         if (roundLog) System.err.println(
           f"[crawl] round ${state.round - 1}%3d fetched=${out.fetchedCount}%7d " +
           f"total=${state.totalFetched}%8d secs=${(System.nanoTime() - t0) / 1e9}%7.2f " +

@@ -37,12 +37,16 @@ object Round {
       newSeenHashes: DataFrame, // url_hash: Long of this round's fetches
       lineage: Dataset[Lineage],
       fetchedCount: Long,
-      caches: Seq[DataFrame]) {
-    /** Release this round's intermediate caches. Call once everything
-      * derived from them (nextFrontier, results slice) is materialized —
-      * a 60-round crawl would otherwise hold ~2 cached plans with html
-      * binaries per round for the whole run. */
+      caches: Seq[DataFrame],   // per-round scratch (ranked frontier)
+      resultCache: DataFrame) { // the round's enriched cache (html-free);
+                                // lifecycle is the CALLER's: snapshot mode
+                                // releases it once the slice is on parquet,
+                                // in-memory mode retains it as the slice
+                                // itself (no extra checkpoint copy)
+    /** Release this round's scratch caches. Call once everything derived
+      * from them (nextFrontier) is materialized. */
     def release(): Unit = caches.foreach(_.unpersist())
+    def releaseResults(): Unit = resultCache.unpersist()
   }
 
   def run(
@@ -229,7 +233,7 @@ object Round {
       candidates)
 
     Output(results, nextFrontier, results.select("url_hash").toDF(),
-      lineage, fetchedCount, Seq(enriched, rankedCache))
+      lineage, fetchedCount, Seq(rankedCache), enriched)
   }
 
   /** Keyword lists used for candidate scoring — the corpus generator and
