@@ -8,6 +8,21 @@ import graft.crawl.Crawler
   * SPARK_GRAFT_SF_DIR at local[$SPARK_GRAFT_CPUS], plus the crawl-engine
   * throughput on a synthesized corpus, and prints ONE JSON line.
   *
+  * Noise protocol (round 4 — this host shows documented 3-4× swings
+  * between identically-configured runs, and BENCH_r03 could not
+  * distinguish engine regression from host weather): one cold pass
+  * (Catalyst/janino/JIT warmup included — comparable to earlier rounds),
+  * then THREE warm passes run back-to-back and INTERLEAVED at the query
+  * level (pass = the full query list in order, so a host stall hits one
+  * pass of many queries, not every rep of one query); the reported warm
+  * number per query is the median of its three warm reps, and every
+  * pass's wall-clock start timestamp is recorded so a slow rep can be
+  * correlated with host events after the fact. The session cache manager
+  * and the theme-page memo are cleared BETWEEN passes: each pass pays
+  * every query's real cost exactly once (no cross-pass result reuse, no
+  * storage-memory accumulation — the r03 warm-worse-than-cold signature
+  * was cache-laden-heap GC churn).
+  *
   * q_neardup_tokens is excluded from the timing loop: it is the exact
   * (oracle-gated) quadratic variant of near-dup detection — its scalable
   * twin q_dedup_minhash IS timed. Everything else runs as-is.
@@ -27,9 +42,30 @@ object Bench {
     }.toMap
   }
 
+  /** Drop everything a pass may have left behind so the next pass starts
+    * from the same state (see the noise protocol above). */
+  private def resetPassState(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    graft.analytics.FuzzyQueries.clearThemeMemo()
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val ok = xs.filter(_ >= 0).sorted
+    if (ok.isEmpty) -1.0
+    else if (ok.size % 2 == 1) ok(ok.size / 2)
+    else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+  }
+
   /** Crawl throughput: fetch+dedup+extract urls/sec on a synthesized
     * corpus (~2.5k pages, 200 hosts, skewed) — the north-star metric at
-    * sandbox scale. */
+    * sandbox scale.
+    *
+    * CONTRACT: this method ends by clearing the session's ENTIRE cache
+    * manager (in-memory crawls retain each round's enriched cache as its
+    * result slice, and those caches are reachable only through the
+    * returned state) — any caller-held cached relations are dropped too.
+    * Callers that interleave query passes with crawl legs must re-cache
+    * (today's only callers run crawls after all query passes). */
   def runCrawl(spark: SparkSession, nHosts: Int = 200,
       basePages: Int = 24, richness: Int = 10,
       roundMs: Long = 60000L, bloom: Boolean = false): (Long, Double) = {
@@ -66,17 +102,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // two passes: cold (includes Catalyst/janino/JIT warmup — comparable
-    // to earlier rounds) and warm (steady-state per-query cost — the
-    // number round-over-round deltas should be read from)
+    // cold pass, then 3 interleaved warm passes (median reported) — see
+    // the noise protocol in the class scaladoc
+    val WarmReps = sys.env.get("GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    val t0wall = System.currentTimeMillis()
     val results = runQueries(spark, sfDir)
-    val warm = runQueries(spark, sfDir)
-    val (fetched, crawlSecs) = runCrawl(spark)
+    val warmPasses = (1 to WarmReps).map { _ =>
+      resetPassState(spark)
+      val ts = System.currentTimeMillis()
+      (ts, runQueries(spark, sfDir))
+    }
+    val names = results.keySet
+    val warm = names.map { n =>
+      n -> median(warmPasses.map(_._2.getOrElse(n, -1.0)))
+    }.toMap
+    resetPassState(spark)
+    // crawl legs, min-of-2 each (min isolates engine capability from the
+    // episodic whole-JVM host stalls BASELINE.md documents): exact
+    // seen-set path, then the co-partitioned Bloom-shard path (the
+    // component the north rule names — CrawlerSpec proves output
+    // equality; this leg provides its timed evidence)
+    val CrawlReps = sys.env.get("GRAFT_CRAWL_REPS").map(_.toInt).getOrElse(2)
+    def bestCrawl(bloom: Boolean): (Long, Double) =
+      (1 to CrawlReps).map { _ => runCrawl(spark, bloom = bloom) }
+        .minBy(r => r._2 / r._1)
+    val (fetched, crawlSecs) = bestCrawl(bloom = false)
     val crawlRate = fetched / crawlSecs
-    // the same crawl through the co-partitioned Bloom-shard seen-set path
-    // (the component the north rule names) — CrawlerSpec proves output
-    // equality; this leg provides its timed evidence
-    val (fetchedB, crawlSecsB) = runCrawl(spark, bloom = true)
+    val (fetchedB, crawlSecsB) = bestCrawl(bloom = true)
     val crawlRateB = fetchedB / crawlSecsB
 
     def fmt(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
@@ -84,9 +136,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum + crawlSecs
     val warmTotal = warm.values.filter(_ >= 0).sum
+    val passTs = warmPasses.map(_._1).mkString("[", ",", "]")
+    val passTotals = warmPasses
+      .map(p => f"${p._2.values.filter(_ >= 0).sum}%.3f")
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${fmt(results)},"queries_warm":${fmt(warm)},""" +
-      s""""warm_total":$warmTotal,"crawl_urls_per_sec":$crawlRate,""" +
+      s""""warm_total":$warmTotal,"warm_reps":$WarmReps,""" +
+      s""""warm_pass_totals":$passTotals,"warm_pass_ts":$passTs,""" +
+      s""""t_start_ms":$t0wall,"crawl_urls_per_sec":$crawlRate,""" +
       s""""crawl_fetched":$fetched,"crawl_secs":$crawlSecs,""" +
       s""""crawl_bloom_urls_per_sec":$crawlRateB,""" +
       s""""crawl_bloom_fetched":$fetchedB,"crawl_bloom_secs":$crawlSecsB,""" +

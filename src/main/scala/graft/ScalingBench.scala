@@ -33,23 +33,37 @@ object ScalingBench {
         s"local-cluster[${cores / 8},8,$memMb]"
       case None => s"local[$cores]"
     }
+    // the SPARK_GC_OPTS A/B knob (build.sbt) reaches the driver JVM via
+    // sbt javaOptions; executors are separate JVMs in local-cluster mode
+    // and must get the SAME collector or a GC A/B silently compares
+    // mixed-collector runs
+    val gcOpts = sys.env.getOrElse("SPARK_GC_OPTS", "-XX:+UseParallelGC")
     val builder0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cores)
     val builder = localCluster match {
       case Some(_) =>
-        val jar = new java.io.File("target/scala-2.13")
-          .listFiles((_, n) => n.endsWith(".jar")).headOption
-          .map(_.getAbsolutePath)
-          .getOrElse(sys.error("run `sbt package` before local-cluster legs"))
+        // exact-artifact match — a loose endsWith(".jar") once shipped
+        // whatever stale jar listed first (e.g. an old version) to the
+        // executors; multiple matches must fail loudly, not pick one
+        val jars = Option(new java.io.File("target/scala-2.13")
+          .listFiles((_, n) => n.startsWith("curriculumskillsspark") &&
+            n.endsWith(".jar") && !n.contains("-sources") &&
+            !n.contains("-javadoc")))
+          .getOrElse(Array.empty).toSeq
+        val jar = jars match {
+          case Seq(j) => j.getAbsolutePath
+          case Seq() =>
+            sys.error("run `sbt package` before local-cluster legs")
+          case many => sys.error(s"ambiguous app jars: ${many.mkString(", ")}")
+        }
         builder0
           .config("spark.jars", jar)
           // local-cluster[n,c,mem] caps the WORKER's memory; the executor
           // JVM itself still defaults to 1g without this
           .config("spark.executor.memory",
             s"${sys.env.get("GRAFT_LOCAL_CLUSTER").get.toInt}m")
-          .config("spark.executor.extraJavaOptions",
-            "-XX:+UseParallelGC")
+          .config("spark.executor.extraJavaOptions", gcOpts)
       case None => builder0
     }
     val spark = builder

@@ -96,15 +96,6 @@ object Crawler {
     }
 
     val roundLog = sys.env.get("GRAFT_ROUND_LOG").contains("1")
-    // seen-set compaction cadence (non-snapshot mode). 1 = flat rewrite
-    // every round. A lazy-union variant (compact every 4) was A/B-tested
-    // in round 3 and REGRESSED: between compactions the two per-round
-    // anti-joins re-scan every slice's 32 checkpoint partitions
-    // (~320 extra task launches per round), which costs more wall time
-    // than the one small rewrite job it saves — same conclusion as the
-    // round-2 mmap-churn diagnosis, now with the job-count data.
-    val SeenCompactEvery = 1
-    var seenSinceCompact = 0
     var continue = true
     while (continue && state.round < maxRounds) {
       val t0 = System.nanoTime()
@@ -126,27 +117,21 @@ object Crawler {
         val slice = out.results
         // this round's fetches are disjoint from seen by construction
         // (the round anti-joins before fetching) → plain union, no
-        // distinct shuffle needed. The union is kept LAZY for up to
-        // SeenCompactEvery rounds (each member is already a checkpointed
-        // slice, so the plan stays flat — a handful of cached scans) and
-        // re-checkpointed FLAT periodically: compacting EVERY round cost
-        // one extra full-seen job per round (round-3 driver-job census:
-        // per-round scheduling latency was a top term in the serial cost
-        // that caps scaling efficiency), while never compacting grows the
-        // anti-joins' scan fan-in without bound (the round-2 mmap-churn
-        // regression). The seen set is url_hash only (8 B/url); at
+        // distinct shuffle needed. The union is re-checkpointed FLAT
+        // every round: a lazy-union cadence (compact every 4) was
+        // A/B-tested in round 3 and REGRESSED — between compactions the
+        // two per-round anti-joins re-scan every slice's 32 checkpoint
+        // partitions (~320 extra task launches per round), costing more
+        // wall time than the one small rewrite job the laziness saves
+        // (same conclusion as the round-2 mmap-churn diagnosis, with
+        // job-count data). The seen set is url_hash only (8 B/url); at
         // 10^10-frontier scale the co-partitioned Bloom shards carry the
         // prefilter and this exact set lives in an Iceberg table updated
         // by appending the round's slice instead.
-        seenSinceCompact += 1
-        val seenLazy = state.seenHashes
+        val newSeen = state.seenHashes
           .unionByName(slice.select("url_hash").toDF())
-        val newSeen =
-          if (seenSinceCompact >= SeenCompactEvery) {
-            seenSinceCompact = 0
-            seenLazy.coalesce(spark.sparkContext.defaultParallelism)
-              .localCheckpoint(true)
-          } else seenLazy
+          .coalesce(spark.sparkContext.defaultParallelism)
+          .localCheckpoint(true)
         val newTotal = state.totalFetched + out.fetchedCount
         // materialize the next frontier ONCE (it feeds every join of the
         // next round) — the LAZY checkpoint is triggered by the count()

@@ -138,13 +138,20 @@ object MlOps {
       .setOutputCol("pca").fit(vecs)
     val first = udf((v: Vector) => v(0))
     val second = udf((v: Vector) => v(1))
-    pca.transform(clustered)
+    val out = pca.transform(clustered)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("size"),
         round(avg(first(col("pca"))), 4).as("pca_x"),
         round(avg(second(col("pca"))), 4).as("pca_y"),
         countDistinct(col("label")).as("n_labels"))
       .orderBy(col("cluster"))
+      // the k-row summary is materialized eagerly so the feature-vector
+      // cache (pinned for the two ML fits above) can be released before
+      // returning — the lazy shape leaked one embeddings-sized cache per
+      // invocation for the life of the session
+      .localCheckpoint(true)
+    vecs.unpersist()
+    out
   }
 
   /** F27/F28: composite recommender score — weighted column arithmetic

@@ -109,11 +109,27 @@ object TextStats {
   private val MaxMarkerLen: Int =
     LangMarkers.valuesIterator.flatten.map(_.length).max
 
+  private def countMask(mask: Integer, counts: Array[Int]): Unit =
+    if (mask != null) {
+      var k = 0; var m = mask.intValue
+      while (m != 0) {
+        if ((m & 1) != 0) counts(k) += 1
+        k += 1; m >>>= 1
+      }
+    }
+
   /** Marker-count argmax over letter runs. Semantics match the original
-    * lowercase-then-split-on-`[^\p{L}]+` formulation: runs of
-    * `Character.isLetter` chars are the tokens, each lowercased in
-    * isolation (locale rules like Greek final sigma see the same
-    * within-word context either way); ties break to the alphabetically
+    * lowercase-then-split-on-`[^\p{L}]+` formulation exactly: runs of
+    * `Character.isLetter` CODE POINTS are the tokens (supplementary-plane
+    * letters stay inside their run — char-based isLetter broke them at
+    * the surrogate boundary), each lowercased in isolation (locale rules
+    * like Greek final sigma see the same within-word context either way).
+    * The one lowercase mapping that introduces a NON-letter is U+0130
+    * (İ → i + combining U+0307): the whole-text formulation re-splits on
+    * it, so runs containing U+0130 are always materialized (even past the
+    * marker-length bound — lowercase never shortens, so every other long
+    * run is a non-marker with or without the split) and their lowered
+    * form is re-split the same way. Ties break to the alphabetically
     * first language. */
   def detectLang(text: String): String = {
     if (text == null || text.isEmpty) return "und"
@@ -121,21 +137,26 @@ object TextStats {
     val n = text.length
     var i = 0
     while (i < n) {
-      if (Character.isLetter(text.charAt(i))) {
-        var j = i + 1
-        while (j < n && Character.isLetter(text.charAt(j))) j += 1
-        if (j - i <= MaxMarkerLen) {
-          val mask = MarkerMask.get(text.substring(i, j).toLowerCase)
-          if (mask != null) {
-            var k = 0; var m = mask.intValue
-            while (m != 0) {
-              if ((m & 1) != 0) counts(k) += 1
-              k += 1; m >>>= 1
-            }
-          }
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        var dottedI = cp == 0x130
+        var j = i + Character.charCount(cp)
+        var run = true
+        while (j < n && run) {
+          val c2 = text.codePointAt(j)
+          if (Character.isLetter(c2)) {
+            if (c2 == 0x130) dottedI = true
+            j += Character.charCount(c2)
+          } else run = false
+        }
+        if (j - i <= MaxMarkerLen || dottedI) {
+          val low = text.substring(i, j).toLowerCase
+          if (!dottedI) countMask(MarkerMask.get(low), counts)
+          else low.split("[^\\p{L}]+").foreach(p =>
+            if (p.nonEmpty) countMask(MarkerMask.get(p), counts))
         }
         i = j
-      } else i += 1
+      } else i += Character.charCount(cp)
     }
     var bestLang = "und"; var bestCount = 0
     var k = 0

@@ -75,7 +75,13 @@ class FastPathSpec extends AnyFunSuite {
     }
     val words = TextStats.LangMarkers.values.flatten.toSeq ++ Seq(
       "data", "unit", "ΤΗΣ", "Und", "THE", "och", "x", "καi", "είναι",
-      "DER", "MIT")
+      "DER", "MIT",
+      // U+0130 lowercases to i + combining U+0307 (a non-letter): the
+      // reference formulation re-splits on it, so "İthe" must count "the"
+      "İthe", "İS", "İ", "theİ", "İundİthe",
+      // supplementary-plane letters (surrogate pairs) must stay inside
+      // their letter run — "𐐷the" is ONE 5-code-point token, not "the"
+      "𐐷the", "𐐷", "𐐷𐐷𐐷𐐷𐐷𐐷the")
     val rnd = new scala.util.Random(0xD06)
     (0 until 2000).foreach { _ =>
       val t = (0 until rnd.nextInt(13))
