@@ -15,6 +15,9 @@ import graft.crawl.{Crawler, Snapshot}
   * Env:   SPARK_GRAFT_CPUS (default 4) — local[N] parallelism; the
   *        N-vs-4N scaling evidence for BASELINE.md runs this main at
   *        two values on the same input.
+  *        GRAFT_BLOOM=1 — route the seen-set through the co-partitioned
+  *        Bloom-shard prefilter (the north-rule component; output is
+  *        CrawlerSpec-proven identical to the exact path).
   */
 object CrawlMain {
   def main(args: Array[String]): Unit = {
@@ -43,9 +46,11 @@ object CrawlMain {
     val dict = Synth.escoLabels().map(l => (l.concept_uri, l.preferred_label))
 
     val snap = snapDir.map(d => new Snapshot(d))
+    val bloom = sys.env.get("GRAFT_BLOOM").contains("1")
     val t0 = System.nanoTime()
     val (state, results, lineage) = Crawler.crawl(pages, robots, seeds,
-      dict, maxRounds = maxRounds, roundMs = roundMs, snapshot = snap)
+      dict, maxRounds = maxRounds, roundMs = roundMs, snapshot = snap,
+      bloomPrefilter = bloom, bloomCopartition = bloom)
     val fetched = state.totalFetched
     val skillHits = results.selectExpr("sum(size(skill_uris))")
       .head.getLong(0)

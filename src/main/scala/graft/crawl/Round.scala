@@ -58,7 +58,8 @@ object Round {
       roundNo: Int,
       roundMs: Long = 4000L,
       bloomPrefilter: Boolean = false,
-      bloomCopartition: Boolean = false)
+      bloomCopartition: Boolean = false,
+      prebuiltShards: Option[Dataset[SeenShard]] = None)
       (implicit spark: SparkSession): Output = {
     import spark.implicits._
     val tRoundStart = System.nanoTime()
@@ -68,10 +69,12 @@ object Round {
     //    one frontier shuffle, no driver collect — the 10^10-scale path);
     //    the exact anti-join guarantees no double-fetch even on Bloom
     //    false negatives (there are none) — at full scale the Bloom pass
-    //    removes ~all matches first.
+    //    removes ~all matches first. The crawl loop maintains the shards
+    //    incrementally across rounds and passes them in; the from-scratch
+    //    build here is the single-round fallback (specs, ad-hoc calls).
     val prefiltered =
       if (bloomPrefilter) {
-        val shards = BloomShard.build(seenHashes)
+        val shards = prebuiltShards.getOrElse(BloomShard.build(seenHashes))
         if (bloomCopartition)
           BloomShard.filterUnseenCopartitioned(frontier.toDF(), shards)
         else BloomShard.filterUnseen(frontier.toDF(), shards)

@@ -32,6 +32,25 @@ class FiltersSpec extends AnyFunSuite {
     shards.unpersist()
   }
 
+  test("bloom: incremental slice-union shards ≡ batch build " +
+      "(the crawl loop's per-round maintenance path)") {
+    implicit val spark: org.apache.spark.sql.SparkSession =
+      graft.SparkSpec.session
+    import spark.implicits._
+    // three disjoint "round slices" merged incrementally, as Crawler does
+    val slices = Seq(hashes(700, "a"), hashes(500, "b"), hashes(300, "c"))
+    val incremental = slices.tail.foldLeft(
+      BloomShard.build(slices.head.toDF("url_hash"))) { (acc, s) =>
+        BloomShard.union(acc, BloomShard.build(s.toDF("url_hash")))
+      }
+    val batch = BloomShard.build(slices.flatten.toDF("url_hash"))
+    val incBits = incremental.collect()
+      .map(s => s.shard_id -> s.bits.toSeq).toMap
+    val batchBits = batch.collect()
+      .map(s => s.shard_id -> s.bits.toSeq).toMap
+    assert(incBits === batchBits) // identical bitsets, not just members
+  }
+
   test("bloom: no false negatives (the scale-free guarantee)") {
     val m = 1 << 16
     val k = 7
