@@ -267,10 +267,28 @@ object Synth extends Serializable {
     (0 until nHosts by every).map(h => Seed(url(h, 0))).toDS()
   }
 
+  /** The host's robots.txt BODY — the corpus-side artifact the engine
+    * parses (rules no longer arrive pre-structured). Carries a non-`*`
+    * group and noise directives so the parser's group selection is
+    * exercised on every crawl, not just in RobotsSpec. */
+  def robotsTxt(h: Int): String = {
+    val delaySecs = (200 + (h % 5) * 200) / 1000.0
+    s"""# synthetic robots.txt for ${host(h)}
+       |User-agent: fancybot
+       |Disallow: /
+       |
+       |User-agent: *
+       |Disallow: /private/
+       |Disallow:
+       |Crawl-delay: $delaySecs
+       |Sitemap: https://${host(h)}/sitemap.xml
+       |""".stripMargin
+  }
+
   def robots(spark: SparkSession, nHosts: Int = 50): Dataset[RobotsRule] = {
     import spark.implicits._
     (0 until nHosts).map { h =>
-      RobotsRule(host(h), Seq("/private/"), 200 + (h % 5) * 200)
+      graft.url.Robots.parse(host(h), robotsTxt(h))
     }.toDS()
   }
 
