@@ -260,7 +260,10 @@ object FuzzyQueries {
 
   /** A11/A12: nested grouping output — rows → group → sorted struct list
     * with per-key frequency annotation
-    * (/root/reference/skills.py:94-106,326-346). */
+    * (/root/reference/skills.py:94-106,326-346). Oracle-checked: the
+    * DuckDB twin rebuilds Spark's compact to_json byte-for-byte via
+    * string_agg ordered by the unique custkey (sort_array's first struct
+    * field), so rows+schema+hash all gate. */
   val qNestedGroups: (SparkSession, String) => DataFrame = (s, dir) => {
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
     val freqW = Window.partitionBy(col("c_mktsegment"))
@@ -303,5 +306,18 @@ object FuzzyQueries {
         |   / count(*) * 100.0 AS pct_nickel,
         | CAST(sum(CASE WHEN b LIKE '%tin%' THEN 1 ELSE 0 END) AS DOUBLE)
         |   / count(*) * 100.0 AS pct_tin
-        |FROM blob""".stripMargin)
+        |FROM blob""".stripMargin,
+    "q_nested_groups" ->
+      """WITH f AS (
+        | SELECT c_custkey, c_mktsegment, c_nationkey,
+        |  count(*) OVER (PARTITION BY c_mktsegment) AS segment_freq
+        | FROM customer)
+        |SELECT n_name, count(*) AS n_members,
+        | '[' || string_agg(
+        |   '{"custkey":' || c_custkey ||
+        |   ',"segment":"' || c_mktsegment ||
+        |   '","segment_freq":' || segment_freq || '}',
+        |   ',' ORDER BY c_custkey) || ']' AS members_json
+        |FROM f JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
 }

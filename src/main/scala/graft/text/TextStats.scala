@@ -169,8 +169,11 @@ object TextStats {
     if (bestCount == 0) "und" else bestLang
   }
 
-  /** Predicted vs stored language agreement per stored lang (no SQL
-    * oracle — heuristic UDF; covered by ScalaTest). */
+  /** Predicted vs stored language agreement per stored lang. The marker
+    * argmax is SQL-expressible, so this has a full DuckDB oracle twin
+    * (list_filter counts per marker set + CASE argmax with the same
+    * alphabetical tie-break); the ScalaTest property still pins the
+    * streaming detector to the lowercase-then-split reference form. */
   val qLangId: (SparkSession, String) => DataFrame = (s, dir) => {
     val detect = udf((text: String) => detectLang(text))
     t(s, dir)
@@ -222,5 +225,34 @@ object TextStats {
     "q_doc_fingerprint" ->
       """SELECT doc_id,
         | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      """WITH d AS (SELECT lang,
+        |  list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+        |    '[^\p{L}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT lang,
+        |  length(list_filter(toks, x -> x IN
+        |    ('der','die','das','und','ist','mit'))) AS c_de,
+        |  length(list_filter(toks, x -> x IN
+        |    ('και','του','της','είναι','με','για'))) AS c_el,
+        |  length(list_filter(toks, x -> x IN
+        |    ('the','and','of','to','is','with'))) AS c_en,
+        |  length(list_filter(toks, x -> x IN
+        |    ('el','los','las','es','con','para'))) AS c_es,
+        |  length(list_filter(toks, x -> x IN
+        |    ('le','la','les','et','est','avec'))) AS c_fr,
+        |  length(list_filter(toks, x -> x IN
+        |    ('och','att','det','som','en','med'))) AS c_sv
+        |  FROM d),
+        |p AS (SELECT lang, CASE
+        |  WHEN greatest(c_de,c_el,c_en,c_es,c_fr,c_sv) = 0 THEN 'und'
+        |  WHEN c_de = greatest(c_de,c_el,c_en,c_es,c_fr,c_sv) THEN 'de'
+        |  WHEN c_el = greatest(c_de,c_el,c_en,c_es,c_fr,c_sv) THEN 'el'
+        |  WHEN c_en = greatest(c_de,c_el,c_en,c_es,c_fr,c_sv) THEN 'en'
+        |  WHEN c_es = greatest(c_de,c_el,c_en,c_es,c_fr,c_sv) THEN 'es'
+        |  WHEN c_fr = greatest(c_de,c_el,c_en,c_es,c_fr,c_sv) THEN 'fr'
+        |  ELSE 'sv' END AS predicted FROM s)
+        |SELECT lang, predicted, count(*) AS n_docs
+        |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin)
 }
