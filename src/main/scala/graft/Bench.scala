@@ -79,7 +79,12 @@ object Bench {
     val t0 = System.nanoTime()
     val (state, _, _) = Crawler.crawl(pages, robots, seeds, dict,
       maxRounds = 60, roundMs = roundMs,
-      bloomPrefilter = bloom, bloomCopartition = bloom)
+      bloomPrefilter = bloom, bloomCopartition = bloom,
+      // benchmark Bloom legs run the filter at its scaling size (2 MiB —
+      // ≥20 bits/key up to the 832k corpus) so the maybe-rate, and with
+      // it the exact-verify join's left side, matches the design point
+      // rather than the spec fixtures' deliberately tiny test filter
+      bloomParams = graft.seen.BloomShard.scaleParams)
     val elapsed = (System.nanoTime() - t0) / 1e9
     pages.unpersist()
     // in-memory crawls retain each round's enriched cache as its result

@@ -66,7 +66,9 @@ object Crawler {
       roundMs: Long = 4000L,
       snapshot: Option[Snapshot] = None,
       bloomPrefilter: Boolean = false,
-      bloomCopartition: Boolean = false)
+      bloomCopartition: Boolean = false,
+      bloomParams: graft.seen.BloomShard.Params =
+        graft.seen.BloomShard.testParams)
       (implicit spark: SparkSession)
       : (CrawlState, Dataset[CrawlResult], Dataset[Lineage]) = {
     import spark.implicits._
@@ -112,11 +114,11 @@ object Crawler {
       // per round below — never rebuilt from scratch again
       if (bloomPrefilter && state.seenShards.isEmpty)
         state = state.copy(seenShards = Some(
-          graft.seen.BloomShard.build(state.seenHashes)
+          graft.seen.BloomShard.build(state.seenHashes, bloomParams)
             .localCheckpoint(true)))
       val out = Round.run(pages, robots, state.frontier, state.seenHashes,
         dict, state.round, roundMs, bloomPrefilter, bloomCopartition,
-        state.seenShards)
+        state.seenShards, bloomParams)
       if (out.fetchedCount == 0L) {
         out.release(); out.releaseResults()
         continue = false
@@ -152,7 +154,8 @@ object Crawler {
         // running set (see CrawlState.seenShards) — O(slice), not O(seen)
         val newShards = state.seenShards.map(prev =>
           graft.seen.BloomShard.union(prev,
-            graft.seen.BloomShard.build(slice.select("url_hash").toDF()))
+            graft.seen.BloomShard.build(
+              slice.select("url_hash").toDF(), bloomParams))
             .localCheckpoint(true))
         val newTotal = state.totalFetched + out.fetchedCount
         // materialize the next frontier ONCE (it feeds every join of the

@@ -59,28 +59,48 @@ object Round {
       roundMs: Long = 4000L,
       bloomPrefilter: Boolean = false,
       bloomCopartition: Boolean = false,
-      prebuiltShards: Option[Dataset[SeenShard]] = None)
+      prebuiltShards: Option[Dataset[SeenShard]] = None,
+      bloomParams: BloomShard.Params = BloomShard.testParams)
       (implicit spark: SparkSession): Output = {
     import spark.implicits._
     val tRoundStart = System.nanoTime()
 
-    // 1. dedup against the seen set. Bloom prefilters first (broadcast
-    //    layout = map-side, no frontier shuffle; co-partitioned layout =
-    //    one frontier shuffle, no driver collect — the 10^10-scale path);
-    //    the exact anti-join guarantees no double-fetch even on Bloom
-    //    false negatives (there are none) — at full scale the Bloom pass
-    //    removes ~all matches first. The crawl loop maintains the shards
-    //    incrementally across rounds and passes them in; the from-scratch
-    //    build here is the single-round fallback (specs, ad-hoc calls).
-    val prefiltered =
+    // 1. dedup against the seen set. Bloom path = flag-and-verify (the
+    //    classic Bloom join): the filter FLAGS each frontier row
+    //    (broadcast layout = map-side, no frontier shuffle;
+    //    co-partitioned layout = one frontier shuffle, no driver
+    //    collect — the 10^10-scale path); definitely-unseen rows skip
+    //    the exact seen set entirely, and only the maybe-seen rows (true
+    //    repeats + the filter's false positives) are verified by the
+    //    exact anti-join. Output is EXACTLY the plain anti-join's at any
+    //    false-positive rate — the former filter-only layout silently
+    //    dropped false positives (a lost page plus its whole undiscovered
+    //    link subtree; 8% of the 208k corpus at test-sized shards) — while
+    //    the anti-join's left side shrinks from the full frontier to the
+    //    maybe-seen sliver, which at north-rule scale is the difference
+    //    between shuffling 10^8 frontier rows against a 10^10-row seen
+    //    table every round and shuffling only the repeats. The crawl loop
+    //    maintains the shards incrementally across rounds and passes them
+    //    in; the from-scratch build here is the single-round fallback
+    //    (specs, ad-hoc calls).
+    val unseen0 =
       if (bloomPrefilter) {
-        val shards = prebuiltShards.getOrElse(BloomShard.build(seenHashes))
-        if (bloomCopartition)
-          BloomShard.filterUnseenCopartitioned(frontier.toDF(), shards)
-        else BloomShard.filterUnseen(frontier.toDF(), shards)
-      } else frontier.toDF()
-    val unseen = prefiltered
-      .join(seenHashes, Seq("url_hash"), "left_anti")
+        val shards = prebuiltShards.getOrElse(
+          BloomShard.build(seenHashes, bloomParams))
+        val flagged =
+          (if (bloomCopartition)
+            BloomShard.flagMaybeSeenCopartitioned(
+              frontier.toDF(), shards, bloomParams)
+          else BloomShard.flagMaybeSeen(frontier.toDF(), shards, bloomParams))
+        val defUnseen = flagged
+          .filter(!col(BloomShard.MaybeCol)).drop(BloomShard.MaybeCol)
+        val maybeSeen = flagged
+          .filter(col(BloomShard.MaybeCol)).drop(BloomShard.MaybeCol)
+        defUnseen.unionByName(
+          maybeSeen.join(seenHashes, Seq("url_hash"), "left_anti")
+            .select(defUnseen.columns.map(col): _*))
+      } else frontier.toDF().join(seenHashes, Seq("url_hash"), "left_anti")
+    val unseen = unseen0
       .select(Frontier.Cols.map(col): _*)
       .as[FrontierEntry]
 

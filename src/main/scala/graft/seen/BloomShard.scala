@@ -31,6 +31,19 @@ object BloomShard {
   final case class Params(numShards: Int, bitsPerShard: Int, k: Int)
   val testParams: Params = Params(16, 1 << 16, 7)
 
+  /** Scaling-corpus params (ScalingBench/Bench GRAFT_BLOOM legs):
+    * 64 shards × 2^18 bits ≈ 16.8 Mbit (2 MiB of filter). At the 208k-url
+    * corpus that is ~80 bits/key (maybe-rate ≈ 3e-8); at the 832k 4×
+    * corpus ~20 bits/key (≈ 2e-4) — the exact verify join sees only true
+    * repeats. The 10^10 design point in the class Scaladoc (4096 shards ×
+    * ~3 MiB) is the same construction at 10 bits/key. */
+  val scaleParams: Params = Params(64, 1 << 18, 7)
+
+  /** Column added by the flag layouts: true = the filter says the url
+    * MIGHT be seen (true seen or false positive) and the row must be
+    * verified against the exact seen set; false = definitely unseen. */
+  val MaybeCol = "__bloom_maybe"
+
   @inline def shardOf(urlHash: Long, numShards: Int): Int =
     java.lang.Math.floorMod(urlHash, numShards.toLong).toInt
 
@@ -123,55 +136,83 @@ object BloomShard {
     }.map(_._2)
   }
 
-  /** Membership prefilter, broadcast layout: collect+broadcast all shards,
-    * keep rows whose hash is NOT maybe-in the filter. Right shape when the
-    * whole filter fits comfortably in executor memory (small shard counts);
-    * at north-rule scale (4096 × ~3 MiB ≈ 12 GiB) the driver collect is the
-    * bottleneck — use [[filterUnseenCopartitioned]] there. */
-  def filterUnseen(frontier: DataFrame, shards: Dataset[SeenShard],
+  /** Membership flag, broadcast layout: collect+broadcast all shards and
+    * append [[MaybeCol]] per row. Right shape when the whole filter fits
+    * comfortably in executor memory (small shard counts); at north-rule
+    * scale (4096 × ~3 MiB ≈ 12 GiB) the driver collect is the bottleneck —
+    * use [[flagMaybeSeenCopartitioned]] there.
+    *
+    * The flag is the CORRECT contract for a lossy filter: a false
+    * positive must be re-checked against the exact seen set, not dropped
+    * (dropping loses the page AND its whole undiscovered link subtree —
+    * measured 8% of the 208k scaling corpus under the old filter-only
+    * layout at test-sized shards). Callers route MaybeCol=false straight
+    * through and anti-join only the MaybeCol=true rows. */
+  def flagMaybeSeen(frontier: DataFrame, shards: Dataset[SeenShard],
       p: Params = testParams)(implicit spark: SparkSession): DataFrame = {
     val shardMap: Map[Int, Array[Long]] =
       shards.collect().map(s => s.shard_id -> fromBytes(s.bits)).toMap
     val bc = spark.sparkContext.broadcast(shardMap)
-    val unseen = udf { (h: Long) =>
+    val maybe = udf { (h: Long) =>
       bc.value.get(shardOf(h, p.numShards)) match {
-        case Some(bits) => !mightContain(bits, h, p.bitsPerShard, p.k)
-        case None => true
+        case Some(bits) => mightContain(bits, h, p.bitsPerShard, p.k)
+        case None => false
       }
     }
-    frontier.filter(unseen(col("url_hash")))
+    frontier.withColumn(MaybeCol, maybe(col("url_hash")))
   }
 
-  /** Membership prefilter, co-partitioned layout (the 10^10-scale path):
+  /** Membership flag, co-partitioned layout (the 10^10-scale path):
     * typed cogroup of the frontier and the shard table on
     * `shard_id = pmod(url_hash, numShards)`. One hash shuffle of the
     * frontier, a tiny shuffle of the shards, NO driver collect and no
     * whole-filter broadcast — each task deserializes exactly the one
     * shard its rows hash to. (A plain equi-join would copy the multi-MiB
     * bits column onto every frontier row; the cogroup touches it once per
-    * group.) Output rows and schema are identical to [[filterUnseen]]
+    * group.) Output rows and schema are identical to [[flagMaybeSeen]]
     * (property-tested in FiltersSpec). */
-  def filterUnseenCopartitioned(frontier: DataFrame,
+  def flagMaybeSeenCopartitioned(frontier: DataFrame,
       shards: Dataset[SeenShard], p: Params = testParams)
       (implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
     import spark.implicits._
     val withSid = frontier.withColumn("__sid",
       pmod(col("url_hash"), lit(p.numShards.toLong)).cast("int"))
-    val rowEnc = org.apache.spark.sql.Encoders.row(withSid.schema)
+    val outSchema = withSid.schema.add(MaybeCol,
+      org.apache.spark.sql.types.BooleanType, nullable = false)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
     val sidIdx = withSid.schema.fieldIndex("__sid")
     val hashIdx = withSid.schema.fieldIndex("url_hash")
     val keyed = withSid.groupByKey(_.getInt(sidIdx))(
       org.apache.spark.sql.Encoders.scalaInt)
     val shardKeyed = shards.groupByKey(_.shard_id)
     val m = p.bitsPerShard; val k = p.k
-    val filtered = keyed.cogroup(shardKeyed) { (_, rows, sh) =>
+    val flagged = keyed.cogroup(shardKeyed) { (_, rows, sh) =>
       sh.toSeq.headOption match {
-        case None => rows
+        case None => rows.map(r => Row.fromSeq(r.toSeq :+ false))
         case Some(shard) =>
           val bits = fromBytes(shard.bits)
-          rows.filter(r => !mightContain(bits, r.getLong(hashIdx), m, k))
+          rows.map(r => Row.fromSeq(
+            r.toSeq :+ mightContain(bits, r.getLong(hashIdx), m, k)))
       }
     }(rowEnc)
-    filtered.toDF().drop("__sid")
+    flagged.toDF().drop("__sid")
   }
+
+  /** Filter-only convenience over [[flagMaybeSeen]] (keeps rows the
+    * filter calls definitely-unseen). NOT output-equal to an exact seen
+    * check — false positives are dropped; crawl paths must use the flag +
+    * exact-verify shape instead (Round.run). */
+  def filterUnseen(frontier: DataFrame, shards: Dataset[SeenShard],
+      p: Params = testParams)(implicit spark: SparkSession): DataFrame =
+    flagMaybeSeen(frontier, shards, p)
+      .filter(!col(MaybeCol)).drop(MaybeCol)
+
+  /** Filter-only convenience over [[flagMaybeSeenCopartitioned]]; same
+    * lossy caveat as [[filterUnseen]]. */
+  def filterUnseenCopartitioned(frontier: DataFrame,
+      shards: Dataset[SeenShard], p: Params = testParams)
+      (implicit spark: SparkSession): DataFrame =
+    flagMaybeSeenCopartitioned(frontier, shards, p)
+      .filter(!col(MaybeCol)).drop(MaybeCol)
 }

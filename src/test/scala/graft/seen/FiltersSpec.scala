@@ -32,6 +32,41 @@ class FiltersSpec extends AnyFunSuite {
     shards.unpersist()
   }
 
+  test("bloom: flag-and-verify ≡ exact anti-join EXACTLY even with a " +
+      "saturated filter (false positives re-checked, not dropped)") {
+    implicit val spark: org.apache.spark.sql.SparkSession =
+      graft.SparkSpec.session
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // deliberately undersized filter: 4 shards × 256 bits for 2000 keys
+    // (~0.5 bits/key) — false positives near-certain; the crawl shape
+    // must STILL return exactly the plain anti-join's rows
+    val p = BloomShard.Params(4, 256, 7)
+    val seen = hashes(2000).toDF("url_hash")
+    val shards = BloomShard.build(seen, p).cache()
+    val probe = (hashes(1000) ++ hashes(3000, "z")).zipWithIndex
+      .toDF("url_hash", "rowid")
+    val exact = probe.join(seen, Seq("url_hash"), "left_anti")
+    for (flagged <- Seq(
+        BloomShard.flagMaybeSeen(probe, shards, p),
+        BloomShard.flagMaybeSeenCopartitioned(probe, shards, p))) {
+      val defUnseen = flagged
+        .filter(!col(BloomShard.MaybeCol)).drop(BloomShard.MaybeCol)
+      val maybe = flagged
+        .filter(col(BloomShard.MaybeCol)).drop(BloomShard.MaybeCol)
+      val viaBloom = defUnseen.unionByName(
+        maybe.join(seen, Seq("url_hash"), "left_anti")
+          .select(defUnseen.columns.map(col): _*))
+      assert(viaBloom.exceptAll(exact).isEmpty &&
+        exact.exceptAll(viaBloom).isEmpty)
+    }
+    // and the saturation is real: filter-only WOULD have dropped rows
+    // (the defect this spec pins against regressions)
+    assert(BloomShard.filterUnseen(probe, shards, p).count() <
+      exact.count())
+    shards.unpersist()
+  }
+
   test("bloom: incremental slice-union shards ≡ batch build " +
       "(the crawl loop's per-round maintenance path)") {
     implicit val spark: org.apache.spark.sql.SparkSession =
