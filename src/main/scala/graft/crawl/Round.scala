@@ -83,15 +83,25 @@ object Round {
     //    maintains the shards incrementally across rounds and passes them
     //    in; the from-scratch build here is the single-round fallback
     //    (specs, ad-hoc calls).
+    val bloomScratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val unseen0 =
       if (bloomPrefilter) {
         val shards = prebuiltShards.getOrElse(
           BloomShard.build(seenHashes, bloomParams))
         val flagged =
-          (if (bloomCopartition)
-            BloomShard.flagMaybeSeenCopartitioned(
-              frontier.toDF(), shards, bloomParams)
-          else BloomShard.flagMaybeSeen(frontier.toDF(), shards, bloomParams))
+          if (bloomCopartition) {
+            // the cogroup layout pays a frontier shuffle + per-row probe;
+            // BOTH branches below consume it, so cache this round's
+            // flagged frontier (released with the round's scratch caches)
+            // instead of running the cogroup twice. The broadcast
+            // layout's flag is a map-side probe — recomputing it is
+            // cheaper than a cache round-trip, so it stays uncached.
+            val c = BloomShard.flagMaybeSeenCopartitioned(
+              frontier.toDF(), shards, bloomParams).cache()
+            bloomScratch += c
+            c
+          } else BloomShard.flagMaybeSeen(
+            frontier.toDF(), shards, bloomParams)
         val defUnseen = flagged
           .filter(!col(BloomShard.MaybeCol)).drop(BloomShard.MaybeCol)
         val maybeSeen = flagged
@@ -256,7 +266,7 @@ object Round {
       candidates)
 
     Output(results, nextFrontier, results.select("url_hash").toDF(),
-      lineage, fetchedCount, Seq(rankedCache), enriched)
+      lineage, fetchedCount, rankedCache +: bloomScratch.toSeq, enriched)
   }
 
   /** Keyword lists used for candidate scoring — the corpus generator and
