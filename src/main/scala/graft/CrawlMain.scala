@@ -18,6 +18,10 @@ import graft.crawl.{Crawler, Snapshot}
   *        GRAFT_BLOOM=1 — route the seen-set through the co-partitioned
   *        Bloom-shard prefilter (the north-rule component; output is
   *        CrawlerSpec-proven identical to the exact path).
+  *        GRAFT_BUCKETED=1 — very-large-budget fetch shape: partition +
+  *        cache the corpus on `url` once, then fetch-join WITHOUT the
+  *        broadcast hint so each round shuffles only the selected set
+  *        (the corpus is still never shuffled; PlanSpec-asserted).
   */
 object CrawlMain {
   def main(args: Array[String]): Unit = {
@@ -39,7 +43,18 @@ object CrawlMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val pages = Synth.pages(spark, nHosts, basePages, richness).toDF().cache()
+    val bucketed = sys.env.get("GRAFT_BUCKETED").contains("1")
+    val pages0 = Synth.pages(spark, nHosts, basePages, richness).toDF()
+    // bucketed shape = the in-memory analog of a corpus table written
+    // bucketBy(url).sortBy(url) once: the cache's hash partitioning AND
+    // per-partition ordering both propagate through InMemoryTableScan, so
+    // each round's sort-merge fetch join neither shuffles nor sorts the
+    // corpus side
+    val pages = (if (bucketed)
+        pages0.repartition(cpus.toInt,
+          org.apache.spark.sql.functions.col("url"))
+          .sortWithinPartitions("url")
+      else pages0).cache()
     val corpusSize = pages.count() // materialize before timing the crawl
     val robots = Synth.robots(spark, nHosts)
     val seeds = Synth.seeds(spark, nHosts)
@@ -50,7 +65,9 @@ object CrawlMain {
     val t0 = System.nanoTime()
     val (state, results, lineage) = Crawler.crawl(pages, robots, seeds,
       dict, maxRounds = maxRounds, roundMs = roundMs, snapshot = snap,
-      bloomPrefilter = bloom, bloomCopartition = bloom)
+      bloomPrefilter = bloom, bloomCopartition = bloom,
+      bloomParams = graft.seen.BloomShard.scaleParams,
+      bucketedFetch = bucketed)
     val fetched = state.totalFetched
     val skillHits = results.selectExpr("sum(size(skill_uris))")
       .head.getLong(0)

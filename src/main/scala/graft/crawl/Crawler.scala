@@ -68,7 +68,11 @@ object Crawler {
       bloomPrefilter: Boolean = false,
       bloomCopartition: Boolean = false,
       bloomParams: graft.seen.BloomShard.Params =
-        graft.seen.BloomShard.testParams)
+        graft.seen.BloomShard.testParams,
+      // very-large-budget fetch shape: the caller has partitioned+cached
+      // the corpus on `url`; rounds drop the broadcast hint so only the
+      // selected side shuffles (see Round.run step 3)
+      bucketedFetch: Boolean = false)
       (implicit spark: SparkSession)
       : (CrawlState, Dataset[CrawlResult], Dataset[Lineage]) = {
     import spark.implicits._
@@ -118,7 +122,7 @@ object Crawler {
             .localCheckpoint(true)))
       val out = Round.run(pages, robots, state.frontier, state.seenHashes,
         dict, state.round, roundMs, bloomPrefilter, bloomCopartition,
-        state.seenShards, bloomParams)
+        state.seenShards, bloomParams, bucketedFetch)
       if (out.fetchedCount == 0L) {
         out.release(); out.releaseResults()
         continue = false

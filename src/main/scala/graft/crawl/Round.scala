@@ -60,7 +60,8 @@ object Round {
       bloomPrefilter: Boolean = false,
       bloomCopartition: Boolean = false,
       prebuiltShards: Option[Dataset[SeenShard]] = None,
-      bloomParams: BloomShard.Params = BloomShard.testParams)
+      bloomParams: BloomShard.Params = BloomShard.testParams,
+      bucketedFetch: Boolean = false)
       (implicit spark: SparkSession): Output = {
     import spark.implicits._
     val tRoundStart = System.nanoTime()
@@ -127,9 +128,13 @@ object Round {
     //    corpus side (html blobs) streams in place — an SMJ here would
     //    shuffle + sort the ENTIRE corpus every round, the single most
     //    bandwidth-hungry mistake this loop can make. At 10^10-frontier
-    //    scale with very large per-round budgets the equivalent shape is
-    //    both sides bucketed on url_hash (corpus written bucketed once,
-    //    selected set shuffled to match — still never the corpus).
+    //    scale with very large per-round budgets the broadcast no longer
+    //    fits; `bucketedFetch` is that regime's shape, REAL and
+    //    plan-asserted (PlanSpec): the caller partitions + caches/writes
+    //    the corpus ONCE on the join key, the hint is dropped, and
+    //    EnsureRequirements sees the corpus side already hash-partitioned
+    //    — every round shuffles only the selected set to match; the
+    //    corpus is still never shuffled.
     val sel = selected.toDF().alias("f")
 
     // 4. extract text + links + skills + signatures in ONE pipeline over
@@ -158,8 +163,10 @@ object Round {
     // both land in one Project and whole-stage codegen's subexpression
     // elimination evaluates the UDF once per row (the round log's
     // extract-call counter pins calls == fetched pages)
-    val enriched = pages.alias("p")
-      .join(broadcast(sel), col("f.url") === col("p.url"))
+    val enriched = (if (bucketedFetch)
+        pages.alias("p").join(sel, col("f.url") === col("p.url"))
+      else pages.alias("p")
+        .join(broadcast(sel), col("f.url") === col("p.url")))
       .transform { df =>
         if (sys.env.get("GRAFT_PLAN_LOG").contains("1")) System.err.println(
           s"[plan round $roundNo] fetch join:\n" +

@@ -95,6 +95,77 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed fetch join never shuffles (or re-sorts) the corpus side " +
+      "and matches the broadcast path's output") {
+    // The very-large-budget regime: the selected set no longer fits a
+    // broadcast, so the corpus is partitioned+sorted on the join key ONCE
+    // (bucketBy/sortBy analog) and each round's fetch join may only
+    // shuffle/sort the selected side. Assert it on the executed plan
+    // INSIDE the round's enriched cache.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import org.apache.spark.sql.execution.SortExec
+    import graft.crawl.Round
+    import graft.extract.EscoMatcher
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // static plans + no auto-broadcast: the assertion must see the
+    // shuffle-join shape itself, not AQE's small-fixture conversion of it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val pages = Synth.pages(spark, 8, 4, 3).toDF()
+      .repartition(4, col("url")).sortWithinPartitions("url").cache()
+    try {
+      pages.count()
+      val robots = Synth.robots(spark, 8)
+      val frontier = Frontier.fromUrls(
+        pages.select(col("url"), col("warc_ts"), lit(0).as("depth")),
+        Synth.priorityKeywords, Synth.excludeKeywords)
+      val seen = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("url_hash",
+            org.apache.spark.sql.types.LongType))))
+      val dict = EscoMatcher.broadcastDict(spark,
+        Synth.escoLabels().map(l => (l.concept_uri, l.preferred_label)))
+      val out = Round.run(pages, robots, frontier, seen, dict, 0,
+        roundMs = 200000L, bucketedFetch = true)
+      // the fetch join's physical plan lives inside the enriched cache
+      val cached = out.resultCache.queryExecution.optimizedPlan.collect {
+        case r: InMemoryRelation => r.cachedPlan
+      }.head
+      def overCorpus(e: org.apache.spark.sql.execution.SparkPlan) =
+        e.exists {
+          case sc: InMemoryTableScanExec => sc.output.exists(_.name == "html")
+          case _ => false
+        }
+      // the corpus scan IS in this plan...
+      assert(overCorpus(cached), cached.toString)
+      // ...the join is the shuffle join, not a broadcast...
+      assert(cached.toString.contains("SortMergeJoin") ||
+        cached.toString.contains("ShuffledHashJoin"), cached.toString)
+      // ...and no exchange or sort sits above the corpus scan: only the
+      // selected side moves
+      assert(cached.collect {
+        case e: ShuffleExchangeExec if overCorpus(e) => e
+        case e: SortExec if overCorpus(e) => e
+      }.isEmpty, cached.toString)
+      // output equality with the broadcast shape
+      val outB = Round.run(pages, robots, frontier, seen, dict, 0,
+        roundMs = 200000L, bucketedFetch = false)
+      assert(out.fetchedCount === outB.fetchedCount)
+      val a = out.results.select("url").collect().map(_.getString(0)).sorted
+      val b = outB.results.select("url").collect().map(_.getString(0)).sorted
+      assert(a.toSeq === b.toSeq)
+      out.release(); out.releaseResults()
+      outB.release(); outB.releaseResults()
+    } finally {
+      pages.unpersist()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("host-budget selection costs exactly one exchange on the frontier") {
     val pages = Synth.pages(spark, 8, 4, 3).toDF()
     val robots = Synth.robots(spark, 8)
