@@ -68,23 +68,39 @@ object Bench {
     * (today's only callers run crawls after all query passes). */
   def runCrawl(spark: SparkSession, nHosts: Int = 200,
       basePages: Int = 24, richness: Int = 10,
-      roundMs: Long = 60000L, bloom: Boolean = false): (Long, Double) = {
+      roundMs: Long = 60000L, bloom: Boolean = false,
+      bucketed: Boolean = false,
+      snapshotDir: Option[String] = None): (Long, Double) = {
     implicit val s: SparkSession = spark
-    val pages = Synth.pages(spark, nHosts, basePages, richness)
-      .toDF().cache()
+    val pages0 = Synth.pages(spark, nHosts, basePages, richness).toDF()
+    val pages = (if (bucketed)
+        // bucketBy(url).sortBy(url) analog — see CrawlMain's bucketed prep
+        pages0.repartition(spark.sparkContext.defaultParallelism,
+          org.apache.spark.sql.functions.col("url"))
+          .sortWithinPartitions("url")
+      else pages0).cache()
     pages.count() // materialize corpus outside the timed window
     val robots = Synth.robots(spark, nHosts)
     val seeds = Synth.seeds(spark, nHosts)
     val dict = Synth.escoLabels().map(l => (l.concept_uri, l.preferred_label))
+    // durable mode: every round commits frontier/seen/results/lineage to
+    // the snapshot dir (Iceberg-emulation parquet) INSIDE the timed
+    // window — the measured number is write-ahead crawl throughput. A
+    // fresh dir per call: this times the commit path, not a resume.
+    val snap = snapshotDir.map { d =>
+      new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+      new graft.crawl.Snapshot(d)
+    }
     val t0 = System.nanoTime()
     val (state, _, _) = Crawler.crawl(pages, robots, seeds, dict,
-      maxRounds = 60, roundMs = roundMs,
+      maxRounds = 60, roundMs = roundMs, snapshot = snap,
       bloomPrefilter = bloom, bloomCopartition = bloom,
       // benchmark Bloom legs run the filter at its scaling size (2 MiB —
       // ≥20 bits/key up to the 832k corpus) so the maybe-rate, and with
       // it the exact-verify join's left side, matches the design point
       // rather than the spec fixtures' deliberately tiny test filter
-      bloomParams = graft.seen.BloomShard.scaleParams)
+      bloomParams = graft.seen.BloomShard.scaleParams,
+      bucketedFetch = bucketed)
     val elapsed = (System.nanoTime() - t0) / 1e9
     pages.unpersist()
     // in-memory crawls retain each round's enriched cache as its result

@@ -96,14 +96,21 @@ object ScalingBench {
     // round-2 notes) — min-of-N isolates the engine's capability from
     // host noise, and both legs get the identical protocol.
     // GRAFT_BLOOM=1 routes the timed crawls through the co-partitioned
-    // Bloom-shard seen-set path (same output; CrawlerSpec-proven)
+    // Bloom-shard seen-set path (same output; CrawlerSpec-proven).
+    // GRAFT_BUCKETED=1 uses the bucketed-corpus fetch shape (corpus
+    // partitioned+sorted on url once; rounds shuffle only the selected
+    // side — PlanSpec-asserted). GRAFT_SNAPSHOT_DIR=<dir> runs in durable
+    // mode: per-round snapshot commits inside the timed window.
     val bloom = sys.env.get("GRAFT_BLOOM").contains("1")
+    val bucketed = sys.env.get("GRAFT_BUCKETED").contains("1")
+    val snapDir = sys.env.get("GRAFT_SNAPSHOT_DIR")
     // GRAFT_REPS overrides the rep count for quick GC/config experiments;
     // recorded BASELINE.md legs use the default best-of-2
     val reps = sys.env.get("GRAFT_REPS").map(_.toInt).getOrElse(2)
     val runs = (1 to reps).map { i =>
       val out = Bench.runCrawl(spark, nHosts, basePages, richness,
-        roundMs = 600000L, bloom = bloom)
+        roundMs = 600000L, bloom = bloom, bucketed = bucketed,
+        snapshotDir = snapDir.map(d => s"$d/rep$i"))
       System.err.println(s"[scaling] rep$i@$cores: ${out._1} urls in ${out._2} s")
       out
     }
