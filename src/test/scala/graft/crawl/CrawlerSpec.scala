@@ -157,6 +157,21 @@ class CrawlerSpec extends SparkSpec {
       r1.select("url").collect().map(_.getString(0)).toSet)
   }
 
+  test("bucketed fetch shape produces the same crawl as the broadcast " +
+      "fetch (multi-round loop, corpus partitioned+sorted on url once)") {
+    val (s1, r1, _) = full
+    val bucketedPages = Synth.pages(spark, NHosts, Base).toDF()
+      .repartition(4, col("url")).sortWithinPartitions("url").cache()
+    try {
+      val (s5, r5, _) = Crawler.crawl(bucketedPages, robots, seeds,
+        dictLabels, maxRounds = 40, roundMs = 4000L,
+        bucketedFetch = true)(spark)
+      assert(s5.totalFetched === s1.totalFetched)
+      assert(r5.select("url").collect().map(_.getString(0)).toSet ===
+        r1.select("url").collect().map(_.getString(0)).toSet)
+    } finally bucketedPages.unpersist()
+  }
+
   test("co-partitioned bloom prefilter produces the same crawl as exact") {
     val (s1, r1, _) = full
     val (s4, r4, _) = Crawler.crawl(pages, robots, seeds, dictLabels,
