@@ -74,10 +74,8 @@ object Bench {
     implicit val s: SparkSession = spark
     val pages0 = Synth.pages(spark, nHosts, basePages, richness).toDF()
     val pages = (if (bucketed)
-        // bucketBy(url).sortBy(url) analog — see CrawlMain's bucketed prep
-        pages0.repartition(spark.sparkContext.defaultParallelism,
-          org.apache.spark.sql.functions.col("url"))
-          .sortWithinPartitions("url")
+        Crawler.bucketCorpus(pages0,
+          spark.sparkContext.defaultParallelism)
       else pages0).cache()
     pages.count() // materialize corpus outside the timed window
     val robots = Synth.robots(spark, nHosts)

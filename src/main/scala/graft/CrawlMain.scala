@@ -45,15 +45,7 @@ object CrawlMain {
 
     val bucketed = sys.env.get("GRAFT_BUCKETED").contains("1")
     val pages0 = Synth.pages(spark, nHosts, basePages, richness).toDF()
-    // bucketed shape = the in-memory analog of a corpus table written
-    // bucketBy(url).sortBy(url) once: the cache's hash partitioning AND
-    // per-partition ordering both propagate through InMemoryTableScan, so
-    // each round's sort-merge fetch join neither shuffles nor sorts the
-    // corpus side
-    val pages = (if (bucketed)
-        pages0.repartition(cpus.toInt,
-          org.apache.spark.sql.functions.col("url"))
-          .sortWithinPartitions("url")
+    val pages = (if (bucketed) Crawler.bucketCorpus(pages0, cpus.toInt)
       else pages0).cache()
     val corpusSize = pages.count() // materialize before timing the crawl
     val robots = Synth.robots(spark, nHosts)

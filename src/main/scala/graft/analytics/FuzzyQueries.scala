@@ -206,23 +206,34 @@ object FuzzyQueries {
     * and q_theme_grouped (the grouped query is pure page shaping) — the
     * partial_ratio scoring of every distinct blob is by far the dominant
     * cost, so computing the page twice doubled it. The ≤ perPage-row page
-    * is materialized once per (session, sf-dir) and reused; sessions are
-    * weakly keyed so stopped sessions don't pin entries. Callers that
-    * need a fresh measurement (Bench's interleaved reps) call
+    * is materialized once and reused; the memo holds AT MOST ONE
+    * (session, dir) entry — a session-keyed WeakHashMap could never
+    * collect anything (a DataFrame strongly references its own session,
+    * the classic value→key leak), so a bounded slot with eager release
+    * of the replaced checkpoint is both leak-free and honest. Callers
+    * that need a fresh measurement (Bench's interleaved reps) call
     * [[clearThemeMemo]] between passes. */
-  private val themeMemo = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Map[String, DataFrame]]()
+  private var themeMemoEntry: Option[(SparkSession, String, DataFrame)] = None
 
-  def clearThemeMemo(): Unit = themeMemo.synchronized(themeMemo.clear())
+  def clearThemeMemo(): Unit = synchronized {
+    themeMemoEntry.foreach { case (_, _, df) =>
+      graft.util.Checkpoints.release(df)
+    }
+    themeMemoEntry = None
+  }
 
   private def themePage(s: SparkSession, dir: String): DataFrame =
-    themeMemo.synchronized {
-      val perSession = themeMemo.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty[String, DataFrame])
-      perSession.getOrElseUpdate(dir,
-        themeSearch(themeBlobs(s, dir), Seq("green", "steel"),
-          "any", threshold = 60, page = 1, perPage = 25)
-          .localCheckpoint(true))
+    synchronized {
+      themeMemoEntry match {
+        case Some((ms, mdir, df)) if (ms eq s) && mdir == dir => df
+        case _ =>
+          clearThemeMemo()
+          val df = themeSearch(themeBlobs(s, dir), Seq("green", "steel"),
+            "any", threshold = 60, page = 1, perPage = 25)
+            .localCheckpoint(true)
+          themeMemoEntry = Some((s, dir, df))
+          df
+      }
     }
 
   val qThemeSearch: (SparkSession, String) => DataFrame = (s, dir) =>

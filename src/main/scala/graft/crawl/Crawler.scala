@@ -20,6 +20,14 @@ import graft.model._
   */
 object Crawler {
 
+  /** `bucketBy(url).sortBy(url)` analog for an in-memory corpus: the
+    * cache scan propagates BOTH the hash partitioning and the
+    * per-partition ordering, so `bucketedFetch` rounds neither shuffle
+    * nor sort the corpus side (PlanSpec-asserted). One definition so the
+    * mains, the bench, and the specs cannot drift. */
+  def bucketCorpus(df: DataFrame, n: Int): DataFrame =
+    df.repartition(n, col("url")).sortWithinPartitions("url")
+
   final case class CrawlState(
       round: Int,
       frontier: Dataset[FrontierEntry],
@@ -177,6 +185,7 @@ object Crawler {
             if (r.partition_id == minP) r.copy(new_links = enqueued)
             else r).toSeq)
         }
+        val prev = state
         snapshot match {
           case Some(s) =>
             // append-only commit: ONLY this round's results/lineage slice
@@ -203,6 +212,17 @@ object Crawler {
             state = CrawlState(state.round + 1, fr.as[FrontierEntry],
               newSeen, newTotal, newShards)
         }
+        // the superseded round inputs (old frontier / seen / shards) are
+        // fully consumed above — release their checkpoint blocks NOW:
+        // Dataset.unpersist can't reach localCheckpoint storage, and
+        // waiting for ContextCleaner pins every dead round's blocks for
+        // a nondeterministic time inside the measured window (a 60-round
+        // Bloom crawl would otherwise hold ~2 MiB of dead shard bitsets
+        // per round). Snapshot-mode frontier/seen are parquet reads —
+        // release is a no-op there; shards are checkpointed in both modes.
+        graft.util.Checkpoints.release(prev.frontier)
+        graft.util.Checkpoints.release(prev.seenHashes)
+        prev.seenShards.foreach(graft.util.Checkpoints.release)
         // scratch caches (ranked frontier) are fully consumed above; the
         // enriched cache is released here only in snapshot mode (the
         // parquet slice replaces it) — in-memory mode it IS the slice and

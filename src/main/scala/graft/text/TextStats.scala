@@ -173,7 +173,12 @@ object TextStats {
     * argmax is SQL-expressible, so this has a full DuckDB oracle twin
     * (list_filter counts per marker set + CASE argmax with the same
     * alphabetical tie-break); the ScalaTest property still pins the
-    * streaming detector to the lowercase-then-split reference form. */
+    * streaming detector to the lowercase-then-split reference form.
+    * Known twin limit: DuckDB `lower()` lacks Java's context-sensitive
+    * SpecialCasing (word-final Σ→ς, U+0130 İ→i+combining dot), so the
+    * twin is exact only while the documents corpus stays lowercase (it
+    * is — verified across all SFs); if the generator ever emits
+    * uppercase Greek/Turkish, this twin must move to rows-only. */
   val qLangId: (SparkSession, String) => DataFrame = (s, dir) => {
     val detect = udf((text: String) => detectLang(text))
     t(s, dir)

@@ -67,8 +67,12 @@ object Robots {
             if (value.nonEmpty) disallow :+= value
           case "crawl-delay" =>
             inRules = true
+            // clamp instead of truncating: round(s*1000).toInt wraps for
+            // delays ≥ ~2.1e6 s, turning the politest host's delay into
+            // a tiny/negative value → maximum budget (inverted politeness)
             value.toDoubleOption.filter(_ >= 0).foreach(s =>
-              delay = Some(math.round(s * 1000).toInt))
+              delay = Some(
+                math.min(math.round(s * 1000), Int.MaxValue.toLong).toInt))
           case _ =>
             inRules = true // any other directive closes the agent list
         }

@@ -113,8 +113,8 @@ class PlanSpec extends SparkSpec {
     // shuffle-join shape itself, not AQE's small-fixture conversion of it
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val pages = Synth.pages(spark, 8, 4, 3).toDF()
-      .repartition(4, col("url")).sortWithinPartitions("url").cache()
+    val pages = graft.crawl.Crawler.bucketCorpus(
+      Synth.pages(spark, 8, 4, 3).toDF(), 4).cache()
     try {
       pages.count()
       val robots = Synth.robots(spark, 8)

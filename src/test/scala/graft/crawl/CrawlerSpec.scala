@@ -160,8 +160,8 @@ class CrawlerSpec extends SparkSpec {
   test("bucketed fetch shape produces the same crawl as the broadcast " +
       "fetch (multi-round loop, corpus partitioned+sorted on url once)") {
     val (s1, r1, _) = full
-    val bucketedPages = Synth.pages(spark, NHosts, Base).toDF()
-      .repartition(4, col("url")).sortWithinPartitions("url").cache()
+    val bucketedPages = Crawler.bucketCorpus(
+      Synth.pages(spark, NHosts, Base).toDF(), 4).cache()
     try {
       val (s5, r5, _) = Crawler.crawl(bucketedPages, robots, seeds,
         dictLabels, maxRounds = 40, roundMs = 4000L,

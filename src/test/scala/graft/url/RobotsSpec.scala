@@ -84,6 +84,18 @@ class RobotsSpec extends AnyFunSuite {
       RobotsRule("h", Seq("/a/", "/b/"), 3000))
   }
 
+  test("huge crawl-delay clamps to Int.MaxValue ms instead of wrapping " +
+      "negative (politeness must not invert for the politest host)") {
+    val body =
+      """User-agent: *
+        |Disallow: /x/
+        |Crawl-delay: 4294968
+        |""".stripMargin
+    val r = Robots.parse("h", body)
+    assert(r.crawl_delay_ms === Int.MaxValue,
+      s"4294968 s must clamp, got ${r.crawl_delay_ms}")
+  }
+
   test("parseAll over a (host, body) table ≡ per-host parse") {
     implicit val spark: org.apache.spark.sql.SparkSession =
       graft.SparkSpec.session
