@@ -105,6 +105,16 @@ object Bench {
     // slice — drop them (and anything else) between repetitions so
     // back-to-back crawls in one session don't accumulate storage
     spark.sharedState.cacheManager.clearCache()
+    // the FINAL round's frontier / seen set / Bloom shards are
+    // localCheckpoint blocks OUTSIDE the cache manager (the whole premise
+    // of Checkpoints.release) — without this, every rep of every leg
+    // leaks them for the life of the session, the same slow heap
+    // accumulation the warm-pass protocol exists to remove. Safe here
+    // because the enriched caches (the other reader of those plans) were
+    // just dropped above.
+    graft.util.Checkpoints.release(state.frontier)
+    graft.util.Checkpoints.release(state.seenHashes)
+    state.seenShards.foreach(graft.util.Checkpoints.release)
     (state.totalFetched, elapsed)
   }
 
@@ -136,28 +146,45 @@ object Bench {
       n -> median(warmPasses.map(_._2.getOrElse(n, -1.0)))
     }.toMap
     resetPassState(spark)
-    // crawl legs, min-of-2 each (min isolates engine capability from the
-    // episodic whole-JVM host stalls BASELINE.md documents): exact
-    // seen-set path, then the co-partitioned Bloom-shard path (the
-    // component the north rule names — CrawlerSpec proves output
-    // equality; this leg provides its timed evidence)
+    // crawl legs: exact seen-set path vs the co-partitioned Bloom-shard
+    // path (the component the north rule names — CrawlerSpec proves
+    // output equality; this leg provides its timed evidence). Noise
+    // protocol (round 5): the reps are INTERLEAVED (E,B,E,B,…) and each
+    // leg's wall-clock start is recorded — BENCH_r04's sequential
+    // min-of-2 let one host stall land entirely on the exact legs and
+    // recorded an inverted ordering (Bloom "faster" at a corpus size
+    // where the shard build dominates); with interleaving a stall hits
+    // one rep of EACH path, and best-of-per-path rejects it. Timestamps
+    // let a slow rep be correlated with host events after the fact.
     val CrawlReps = sys.env.get("GRAFT_CRAWL_REPS").map(_.toInt).getOrElse(2)
-    def bestCrawl(bloom: Boolean): (Long, Double) =
-      (1 to CrawlReps).map { _ => runCrawl(spark, bloom = bloom) }
-        .minBy(r => r._2 / r._1)
-    val (fetched, crawlSecs) = bestCrawl(bloom = false)
+    val crawlLegs = (1 to CrawlReps).flatMap { _ =>
+      Seq(false, true).map { bloom =>
+        val ts = System.currentTimeMillis()
+        val (n, secs) = runCrawl(spark, bloom = bloom)
+        (bloom, ts, n, secs)
+      }
+    }
+    def best(bloom: Boolean): (Long, Double) = crawlLegs
+      .collect { case (b, _, n, s) if b == bloom => (n, s) }
+      .minBy(r => r._2 / r._1)
+    val (fetched, crawlSecs) = best(bloom = false)
     val crawlRate = fetched / crawlSecs
-    val (fetchedB, crawlSecsB) = bestCrawl(bloom = true)
+    val (fetchedB, crawlSecsB) = best(bloom = true)
     val crawlRateB = fetchedB / crawlSecsB
 
+    // locale-pinned %.3f: the f"" interpolator uses the JVM default
+    // locale, and a comma decimal separator would break the one-JSON-line
+    // contract (every other number is locale-independent Double.toString)
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum + crawlSecs
     val warmTotal = warm.values.filter(_ >= 0).sum
     val passTs = warmPasses.map(_._1).mkString("[", ",", "]")
     val passTotals = warmPasses
-      .map(p => f"${p._2.values.filter(_ >= 0).sum}%.3f")
+      .map(p => f3(p._2.values.filter(_ >= 0).sum))
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${fmt(results)},"queries_warm":${fmt(warm)},""" +
@@ -167,6 +194,9 @@ object Bench {
       s""""crawl_fetched":$fetched,"crawl_secs":$crawlSecs,""" +
       s""""crawl_bloom_urls_per_sec":$crawlRateB,""" +
       s""""crawl_bloom_fetched":$fetchedB,"crawl_bloom_secs":$crawlSecsB,""" +
+      s""""crawl_legs":[""" + crawlLegs.map { case (b, ts, n, secs) =>
+        s"""{"path":"${if (b) "bloom" else "exact"}","t_start_ms":$ts,""" +
+        s""""fetched":$n,"secs":${f3(secs)}}""" }.mkString(",") + "]," +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -26,8 +26,8 @@ object SparkEntry {
       ml.MlOps.queries
 
   /** DuckDB ANSI twins. Keys absent here (q_dedup_minhash,
-    * q_dedup_simhash, q_ann_lsh, q_fuzzy_join, q_best_match,
-    * q_theme_search, q_theme_grouped, q_tfidf_similar,
+    * q_dedup_simhash, q_dedup_clusters, q_ann_lsh, q_fuzzy_join,
+    * q_best_match, q_theme_search, q_theme_grouped, q_tfidf_similar,
     * q_tfidf_lsh, q_kmeans_clusters) are probabilistic / UDF / ML
     * operators verified by ScalaTest properties instead; the driver
     * records a rows-only check for them. */

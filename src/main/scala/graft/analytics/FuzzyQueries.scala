@@ -194,8 +194,10 @@ object FuzzyQueries {
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
     val p = t(s, dir, "part")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // part/customer scale with SF — no static hint (AQE converts at
+      // bench scale; see the broadcast-hint rule in Queries.qJoinStar)
+      .join(p, li("l_partkey") === p("p_partkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name").as("uni"), col("o_orderkey").as("course"))
       .agg(array_sort(collect_set(lower(col("p_name")))).as("skills"))
@@ -256,7 +258,7 @@ object FuzzyQueries {
   val qAreaCoverage: (SparkSession, String) => DataFrame = (s, dir) => {
     val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
     val areas = Seq("steel", "brass", "copper", "nickel", "tin")
-    val joined = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    val joined = li.join(p, li("l_partkey") === p("p_partkey")) // part scales — no hint
       .groupBy(col("l_orderkey"))
       .agg(concat_ws(" ", collect_set(lower(col("p_type")))).as("blob"))
     val flags = areas.foldLeft(joined) { (df, a) =>

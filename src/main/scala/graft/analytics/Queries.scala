@@ -31,15 +31,25 @@ object Queries {
 
   /** J1: canonical star join (reference JOIN_SKILL_ON_COURSE,
     * /root/reference/main.py:491-496): fact lineitem ⋈ orders ⋈ customer
-    * ⋈ nation ⋈ region. Dims broadcast (nation/region tiny, customer
-    * small); fact-side join to orders is the only big shuffle and AQE
-    * picks broadcast for orders at small SF. */
+    * ⋈ nation ⋈ region.
+    *
+    * Broadcast-hint rule (applies to every query in this file): a static
+    * `broadcast()` hint is only allowed on tables BOUNDED BY CONSTRUCTION
+    * — nation (25 rows), region (5), supplier (small fixed host set in
+    * the reference domain), 1-row scalar aggregates. Tables that grow
+    * with scale factor (customer ≈ 150k×SF, part ≈ 200k×SF, orders,
+    * lineitem) get NO hint: a static hint overrides AQE's size check, so
+    * a 100× run would OOM building a multi-GiB broadcast where the
+    * un-hinted plan falls back to shuffle join. At bench SF, AQE's
+    * runtime size stats still convert these to broadcast joins
+    * (PlanSpec asserts it on the finalized plan) — the hint bought
+    * nothing except the 100× hazard. */
   val qJoinStar: Q = (s, dir) => {
     val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
     val r = t(s, dir, "region")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
@@ -96,9 +106,9 @@ object Queries {
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
     val p = t(s, dir, "part"); val sup = t(s, dir, "supplier")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(p, li("l_partkey") === p("p_partkey")) // part scales with SF — no hint
       .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"), "left")
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey")) // customer scales — no hint
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .groupBy(col("n_name"), col("p_brand"))
       .agg(count(lit(1)).as("n_items"))
@@ -172,7 +182,7 @@ object Queries {
     val totalBrands = p.select(
       countDistinct(col("p_brand")).as("total_brands"))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(p, li("l_partkey") === p("p_partkey")) // part scales — no hint
       .groupBy(col("o_orderpriority"))
       .agg(countDistinct(col("p_brand")).as("brands_present"))
       .crossJoin(broadcast(totalBrands))
@@ -186,7 +196,7 @@ object Queries {
   val qMonthlyTrend: Q = (s, dir) => {
     val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
     val n = t(s, dir, "nation")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey")) // customer scales — no hint
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"),
         date_format(col("o_orderdate"), "yyyy-MM").as("month"))

@@ -62,15 +62,21 @@ final class Snapshot(base: String)(implicit spark: SparkSession) {
       n -> (prevAppends.getOrElse(n, Nil) ++
         (if (appends.contains(n)) Seq(dir(round, n)) else Nil))
     }.toMap
-    val tablesJson = tables.keys.map(n =>
-      s""""$n": "${dir(round, n)}"""").mkString(",")
-    val appendsJson = allAppends.map { case (n, ps) =>
-      s""""$n": [${ps.map(p => s""""$p"""").mkString(",")}]"""
-    }.mkString(",")
-    val countersJson = counters.map { case (k, v) => s""""$k": $v""" }
-      .mkString(",")
-    val json = s"""{"round": $round, "tables": {$tablesJson}, """ +
-      s""""appends": {$appendsJson}, "counters": {$countersJson}}"""
+    // Jackson on both ends (ships in /opt/spark/jars): hand-rolled
+    // string-building + regex-parsing silently corrupted on hostile
+    // names (a counter named like a table, a quote in a path) — a real
+    // writer/parser removes the collision class. Format unchanged.
+    val root = Snapshot.mapper.createObjectNode()
+    root.put("round", round)
+    val tNode = root.putObject("tables")
+    tables.keys.toSeq.sorted.foreach(n => tNode.put(n, dir(round, n)))
+    val aNode = root.putObject("appends")
+    allAppends.toSeq.sortBy(_._1).foreach { case (n, ps) =>
+      val arr = aNode.putArray(n); ps.foreach(arr.add)
+    }
+    val cNode = root.putObject("counters")
+    counters.toSeq.sortBy(_._1).foreach { case (k, v) => cNode.put(k, v) }
+    val json = Snapshot.mapper.writeValueAsString(root)
     // write-then-move for atomic commit
     val tmp = Paths.get(s"$base/.manifest_$round.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -90,18 +96,18 @@ final class Snapshot(base: String)(implicit spark: SparkSession) {
       .foldLeft(-1)(math.max)
   }
 
-  private def manifestJson(round: Int): String =
-    new String(Files.readAllBytes(manifestPath(round)),
-      StandardCharsets.UTF_8)
+  private def manifest(round: Int): com.fasterxml.jackson.databind.JsonNode =
+    Snapshot.mapper.readTree(Files.readAllBytes(manifestPath(round)))
+
+  private def fields(node: com.fasterxml.jackson.databind.JsonNode)
+      : Iterator[(String, com.fasterxml.jackson.databind.JsonNode)] =
+    node.properties().iterator().asScala.map(e => e.getKey -> e.getValue)
 
   /** Slice-path lists of the appended tables at a given round. */
-  def appendPaths(round: Int): Map[String, Seq[String]] = {
-    val json = manifestJson(round)
-    """"([a-zA-Z_]+)":\s*\[([^\]]*)\]""".r.findAllMatchIn(json).map { m =>
-      m.group(1) -> """"([^"]+)"""".r.findAllMatchIn(m.group(2))
-        .map(_.group(1)).toSeq
+  def appendPaths(round: Int): Map[String, Seq[String]] =
+    fields(manifest(round).path("appends")).map { case (name, arr) =>
+      name -> arr.elements().asScala.map(_.asText()).toSeq
     }.toMap
-  }
 
   /** Read a table at a round: appended tables union all their committed
     * slices; replaced tables read the round's dir. */
@@ -117,14 +123,11 @@ final class Snapshot(base: String)(implicit spark: SparkSession) {
   def readSlice(round: Int, table: String): DataFrame =
     spark.read.parquet(dir(round, table))
 
-  def counters(round: Int): Map[String, Long] = {
-    val json = manifestJson(round)
-    // counters live in the trailing {"k": v} object; appends are arrays
-    // and tables are string values, so the scalar-int pattern only hits
-    // counters (plus "round", filtered)
-    """"([a-zA-Z_]+)":\s*(-?\d+)""".r.findAllMatchIn(json)
-      .collect { case m if m.group(1) != "round" =>
-        m.group(1) -> m.group(2).toLong }
-      .toMap
-  }
+  def counters(round: Int): Map[String, Long] =
+    fields(manifest(round).path("counters"))
+      .map { case (k, v) => k -> v.asLong() }.toMap
+}
+
+object Snapshot {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }

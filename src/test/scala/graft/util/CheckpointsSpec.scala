@@ -35,4 +35,37 @@ class CheckpointsSpec extends SparkSpec {
       "release must not touch cache-manager entries")
     cached.unpersist()
   }
+
+  test("release REJECTS a derived plan embedding a live shared checkpoint " +
+      "and leaves its blocks intact") {
+    // the footgun the contract forbids: a plan computed FROM a
+    // checkpoint — releasing through it would drop blocks shared with
+    // every other reader of that checkpoint
+    val ckpt = spark.range(1000).toDF("v").localCheckpoint(true)
+    val rddId = ckpt.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }.head
+    val derived = ckpt.filter(org.apache.spark.sql.functions.col("v") > 10)
+    intercept[IllegalArgumentException] { Checkpoints.release(derived) }
+    assert(spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "rejected release must not have dropped the shared blocks")
+    // a join of two checkpoints is equally derived
+    val ckpt2 = spark.range(10).toDF("v").localCheckpoint(true)
+    intercept[IllegalArgumentException] {
+      Checkpoints.release(ckpt.join(ckpt2, "v"))
+    }
+    // the checkpoint itself still releases fine afterwards
+    Checkpoints.release(ckpt); Checkpoints.release(ckpt2)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rddId))
+  }
+
+  test("release works through the .as[T] typing the crawl loop applies") {
+    import spark.implicits._
+    val ckpt = spark.range(100).toDF("v").localCheckpoint(true).as[Long]
+    val rddId = ckpt.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }.head
+    Checkpoints.release(ckpt)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rddId))
+  }
 }
