@@ -64,7 +64,18 @@ object Crawler {
 
   /** Run rounds until the frontier drains or maxRounds; snapshot each
     * round when a Snapshot is given. Returns the final state; results and
-    * lineage accumulate in the snapshot (or `collectResults` for tests). */
+    * lineage accumulate in the snapshot (or `collectResults` for tests).
+    *
+    * RETURN CONTRACT (in-memory mode, snapshot = None): the returned
+    * result/lineage Datasets are the rounds' enriched CACHES, and their
+    * recompute lineage runs through per-round frontier/seen checkpoints
+    * that this loop RELEASES as rounds complete. They are therefore
+    * readable only while their cached blocks are intact — fine in
+    * local[] (blocks can't be lost without losing the JVM) and for the
+    * spec/bench callers that consume them immediately, but an
+    * executor-loss-tolerant caller must either pass a Snapshot (slices
+    * become parquet-backed and re-readable forever) or copy the results
+    * out (e.g. `.localCheckpoint()`) before relying on recompute. */
   def crawl(
       pages: DataFrame,
       robots: Dataset[RobotsRule],
@@ -80,13 +91,23 @@ object Crawler {
       // very-large-budget fetch shape: the caller has partitioned+cached
       // the corpus on `url`; rounds drop the broadcast hint so only the
       // selected side shuffles (see Round.run step 3)
-      bucketedFetch: Boolean = false)
+      bucketedFetch: Boolean = false,
+      // continue from an explicit state (Recrawl's expiry path) instead
+      // of seeding/snapshot-resuming; seeds are ignored when set
+      startState: Option[CrawlState] = None,
+      // seen-filter backend for the prefilter legs: false = Bloom shards
+      // (incremental bitwise-OR growth), true = cuckoo shards
+      // (per-slice insertAll growth; supports the O(expired) deletion
+      // Recrawl uses). Probe dispatch is by SeenShard.kind either way.
+      cuckooSeen: Boolean = false,
+      cuckooParams: graft.seen.CuckooShard.Params =
+        graft.seen.CuckooShard.testParams)
       (implicit spark: SparkSession)
       : (CrawlState, Dataset[CrawlResult], Dataset[Lineage]) = {
     import spark.implicits._
     val dict = EscoMatcher.broadcastDict(spark, dictLabels)
 
-    var state = snapshot.filter(_.latest() >= 0) match {
+    var state = startState.getOrElse(snapshot.filter(_.latest() >= 0) match {
       case Some(s) =>
         val r = s.latest()
         CrawlState(r + 1,
@@ -102,7 +123,7 @@ object Crawler {
         // canonicalize calls in round 0 at the 265k-page bench corpus)
         s0.copy(frontier =
           s0.frontier.toDF().localCheckpoint(true).as[FrontierEntry])
-    }
+    })
     // per-round result/lineage slices: each round's slice is already
     // cached (Round.run) or snapshot-backed; they union lazily at the
     // end. Accumulating + re-checkpointing a growing union every round
@@ -126,11 +147,16 @@ object Crawler {
       // per round below — never rebuilt from scratch again
       if (bloomPrefilter && state.seenShards.isEmpty)
         state = state.copy(seenShards = Some(
-          graft.seen.BloomShard.build(state.seenHashes, bloomParams)
+          (if (cuckooSeen)
+            graft.seen.CuckooShard.build(state.seenHashes, cuckooParams)
+              .toDF().as[graft.model.SeenShard]
+          else graft.seen.BloomShard.build(state.seenHashes, bloomParams))
             .localCheckpoint(true)))
+      val probeParams =
+        if (cuckooSeen) cuckooParams.probeParams else bloomParams
       val out = Round.run(pages, robots, state.frontier, state.seenHashes,
         dict, state.round, roundMs, bloomPrefilter, bloomCopartition,
-        state.seenShards, bloomParams, bucketedFetch)
+        state.seenShards, probeParams, bucketedFetch)
       if (out.fetchedCount == 0L) {
         out.release(); out.releaseResults()
         continue = false
@@ -163,11 +189,17 @@ object Crawler {
           .coalesce(spark.sparkContext.defaultParallelism)
           .localCheckpoint(true)
         // incremental shard growth: OR the round slice's shards into the
-        // running set (see CrawlState.seenShards) — O(slice), not O(seen)
+        // running set (see CrawlState.seenShards) — O(slice), not O(seen).
+        // Cuckoo backend: insertAll (insertion isn't associative like
+        // Bloom's OR, so the slice cogroups into the shard table instead)
         val newShards = state.seenShards.map(prev =>
-          graft.seen.BloomShard.union(prev,
+          (if (cuckooSeen)
+            graft.seen.CuckooShard.insertAll(prev,
+              slice.select("url_hash").toDF(), cuckooParams)
+              .toDF().as[graft.model.SeenShard]
+          else graft.seen.BloomShard.union(prev,
             graft.seen.BloomShard.build(
-              slice.select("url_hash").toDF(), bloomParams))
+              slice.select("url_hash").toDF(), bloomParams)))
             .localCheckpoint(true))
         val newTotal = state.totalFetched + out.fetchedCount
         // materialize the next frontier ONCE (it feeds every join of the

@@ -136,6 +136,23 @@ object BloomShard {
     }.map(_._2)
   }
 
+  /** Per-shard probe closure, dispatched on `SeenShard.kind`: "bloom"
+    * probes the bitset with this object's double-hashing scheme (m/k
+    * from `p`); "cuckoo" deserializes the self-describing
+    * [[CuckooFilter]] (p's bitsPerShard/k are not read). Both are lossy
+    * in the same direction (false positives only — for cuckoo,
+    * fingerprint collisions), so the flag-and-verify contract below
+    * covers both unchanged. */
+  private def probeOf(s: SeenShard, p: Params): Long => Boolean =
+    s.kind match {
+      case "cuckoo" =>
+        val f = CuckooFilter.fromBytes(s.bits)
+        h => f.contains(h)
+      case _ =>
+        val bits = fromBytes(s.bits)
+        h => mightContain(bits, h, p.bitsPerShard, p.k)
+    }
+
   /** Membership flag, broadcast layout: collect+broadcast all shards and
     * append [[MaybeCol]] per row. Right shape when the whole filter fits
     * comfortably in executor memory (small shard counts); at north-rule
@@ -150,12 +167,12 @@ object BloomShard {
     * through and anti-join only the MaybeCol=true rows. */
   def flagMaybeSeen(frontier: DataFrame, shards: Dataset[SeenShard],
       p: Params = testParams)(implicit spark: SparkSession): DataFrame = {
-    val shardMap: Map[Int, Array[Long]] =
-      shards.collect().map(s => s.shard_id -> fromBytes(s.bits)).toMap
+    val shardMap: Map[Int, Long => Boolean] =
+      shards.collect().map(s => s.shard_id -> probeOf(s, p)).toMap
     val bc = spark.sparkContext.broadcast(shardMap)
     val maybe = udf { (h: Long) =>
       bc.value.get(shardOf(h, p.numShards)) match {
-        case Some(bits) => mightContain(bits, h, p.bitsPerShard, p.k)
+        case Some(probe) => probe(h)
         case None => false
       }
     }
@@ -186,14 +203,14 @@ object BloomShard {
     val keyed = withSid.groupByKey(_.getInt(sidIdx))(
       org.apache.spark.sql.Encoders.scalaInt)
     val shardKeyed = shards.groupByKey(_.shard_id)
-    val m = p.bitsPerShard; val k = p.k
+    val pp = p
     val flagged = keyed.cogroup(shardKeyed) { (_, rows, sh) =>
       sh.toSeq.headOption match {
         case None => rows.map(r => Row.fromSeq(r.toSeq :+ false))
         case Some(shard) =>
-          val bits = fromBytes(shard.bits)
+          val probe = probeOf(shard, pp) // kind dispatch, once per group
           rows.map(r => Row.fromSeq(
-            r.toSeq :+ mightContain(bits, r.getLong(hashIdx), m, k)))
+            r.toSeq :+ probe(r.getLong(hashIdx))))
       }
     }(rowEnc)
     flagged.toDF().drop("__sid")

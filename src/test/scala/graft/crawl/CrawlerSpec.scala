@@ -182,6 +182,54 @@ class CrawlerSpec extends SparkSpec {
       r1.select("url").collect().map(_.getString(0)).toSet)
   }
 
+  test("expiry recrawl: cuckoo delete + re-insert ≡ exact-set recrawl " +
+      "(re-fetches exactly the expired pages, restores the full seen set)") {
+    val (state, results, _) = full
+    val cutoff = 2 // expire everything fetched in rounds 0 and 1
+    val expired = results.toDF().filter(col("round") < cutoff)
+    val expiredUrls = expired.select("url").collect()
+      .map(_.getString(0)).toSet
+    assert(expiredUrls.nonEmpty && expiredUrls.size < state.totalFetched,
+      "fixture must expire a strict non-empty subset")
+    def run(useCuckoo: Boolean) = Recrawl.recrawl(pages, robots,
+      dictLabels, state, results, cutoff, useCuckoo,
+      cuckooParams = graft.seen.CuckooShard.Params(8, 1 << 9))(spark)
+    val (sE, rE, _) = run(useCuckoo = false)
+    val (sC, rC, _) = run(useCuckoo = true)
+    val urlsE = rE.select("url").collect().map(_.getString(0)).toSet
+    val urlsC = rC.select("url").collect().map(_.getString(0)).toSet
+    // both paths re-fetch exactly the expired pages, nothing else —
+    // survivors stay deduped by the (pruned) seen set even though the
+    // re-fetched pages re-discover links to them
+    assert(urlsE === expiredUrls)
+    assert(urlsC === urlsE)
+    assert(sC.totalFetched === sE.totalFetched)
+    // the seen set is whole again: every originally-fetched hash present
+    def seenSet(s: Crawler.CrawlState) =
+      s.seenHashes.select("url_hash").collect().map(_.getLong(0)).toSet
+    assert(seenSet(sC) === seenSet(sE))
+    assert(seenSet(sE) === results.select("url_hash").collect()
+      .map(_.getLong(0)).toSet)
+    // per-round schedule equality, not just the final set
+    val schedE = rE.select("url", "round").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    val schedC = rC.select("url", "round").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(schedC === schedE)
+  }
+
+  test("cuckoo-backed seen filter produces the same crawl as exact path " +
+      "(full crawl with per-round insertAll growth)") {
+    val (s1, r1, _) = full
+    val (s6, r6, _) = Crawler.crawl(pages, robots, seeds, dictLabels,
+      maxRounds = 40, roundMs = 4000L, bloomPrefilter = true,
+      cuckooSeen = true,
+      cuckooParams = graft.seen.CuckooShard.Params(8, 1 << 9))(spark)
+    assert(s6.totalFetched === s1.totalFetched)
+    assert(r6.select("url").collect().map(_.getString(0)).toSet ===
+      r1.select("url").collect().map(_.getString(0)).toSet)
+  }
+
   test("bloom shard build over Spark: no false negatives, unseen pass") {
     import spark.implicits._
     val hashes = (1L to 500L).map(i =>

@@ -152,4 +152,84 @@ class FiltersSpec extends AnyFunSuite {
     val fp = probes.count(f.contains)
     assert(fp.toDouble / probes.size < 0.01)
   }
+
+  test("cuckoo: deleting a key never erases a colliding survivor " +
+      "(duplicate fingerprints occupy separate slots)") {
+    // force max collision: insert the SAME hash twice (same bucket pair,
+    // same fingerprint — the hardest case), delete once → one remains
+    val f = new CuckooFilter(1 << 8)
+    val h = Canonical.hash64("https://twin.edu/")
+    assert(f.insert(h) && f.insert(h))
+    assert(f.delete(h))
+    assert(f.contains(h), "second copy must survive the first delete")
+    assert(f.delete(h) && !f.contains(h))
+  }
+
+  test("cuckoo shards: flag-and-verify ≡ exact anti-join through the " +
+      "SAME crawl flag layouts as bloom (kind dispatch), and shard " +
+      "delete prunes exactly the expired keys' membership") {
+    implicit val spark: org.apache.spark.sql.SparkSession =
+      graft.SparkSpec.session
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val p = CuckooShard.Params(8, 1 << 9) // 8 shards × 2048 slots
+    val seenKeys = hashes(2000)
+    val seen = seenKeys.toDF("url_hash")
+    val shards = CuckooShard.build(seen, p).cache()
+    val probe = (hashes(1000) ++ hashes(3000, "z")).zipWithIndex
+      .toDF("url_hash", "rowid")
+    val exact = probe.join(seen, Seq("url_hash"), "left_anti")
+    for (flagged <- Seq(
+        BloomShard.flagMaybeSeen(probe, shards, p.probeParams),
+        BloomShard.flagMaybeSeenCopartitioned(probe, shards,
+          p.probeParams))) {
+      val defUnseen = flagged
+        .filter(!col(BloomShard.MaybeCol)).drop(BloomShard.MaybeCol)
+      val maybe = flagged
+        .filter(col(BloomShard.MaybeCol)).drop(BloomShard.MaybeCol)
+      val viaCuckoo = defUnseen.unionByName(
+        maybe.join(seen, Seq("url_hash"), "left_anti")
+          .select(defUnseen.columns.map(col): _*))
+      assert(viaCuckoo.exceptAll(exact).isEmpty &&
+        exact.exceptAll(viaCuckoo).isEmpty)
+    }
+    // delete an "expired" half: survivors must ALL still flag maybe-seen
+    // (no false negatives — the exact-equivalence guarantee), expired
+    // keys flag unseen except fingerprint collisions (here: none at this
+    // load; the crawl path re-verifies maybes anyway)
+    val (expired, survivors) = seenKeys.splitAt(1000)
+    val pruned = CuckooShard.delete(shards,
+      expired.toDF("url_hash"), p).cache()
+    val flaggedAfter = BloomShard.flagMaybeSeen(
+      seenKeys.toDF("url_hash"), pruned, p.probeParams)
+    val maybeSet = flaggedAfter.filter(col(BloomShard.MaybeCol))
+      .select("url_hash").as[Long].collect().toSet
+    assert(survivors.forall(maybeSet.contains),
+      "a survivor lost membership — delete erased a colliding key")
+    assert(expired.count(maybeSet.contains) < expired.size / 20,
+      "deletion left most expired keys flagged seen")
+    // incremental re-insert (the recrawl's growth path) ≡ batch build
+    // membership: re-adding the expired keys restores full membership
+    val regrown = CuckooShard.insertAll(pruned,
+      expired.toDF("url_hash"), p)
+    val maybeRegrown = BloomShard.flagMaybeSeen(
+      seenKeys.toDF("url_hash"), regrown, p.probeParams)
+      .filter(col(BloomShard.MaybeCol)).count()
+    assert(maybeRegrown === seenKeys.size)
+    shards.unpersist(); pruned.unpersist()
+  }
+
+  test("cuckoo shards: build is deterministic (sorted insertion — " +
+      "bytes are a function of shard content, not row order)") {
+    implicit val spark: org.apache.spark.sql.SparkSession =
+      graft.SparkSpec.session
+    import spark.implicits._
+    val p = CuckooShard.Params(4, 1 << 9)
+    val ks = hashes(1200)
+    val a = CuckooShard.build(ks.toDF("url_hash").repartition(7), p)
+      .collect().map(s => s.shard_id -> s.bits.toSeq).toMap
+    val b = CuckooShard.build(ks.reverse.toDF("url_hash").repartition(3), p)
+      .collect().map(s => s.shard_id -> s.bits.toSeq).toMap
+    assert(a === b)
+  }
 }
