@@ -72,6 +72,21 @@ object ScalingBench {
       // for static plans — an A/B knob for the scaling measurement
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_AQE", "true"))
+      // GRAFT_NOBC=1: disable AUTOMATIC broadcast-join conversion (both
+      // the static planner threshold and AQE's runtime threshold, which
+      // defaults to it) — the sandbox emulation of the ≳10⁷-row regime
+      // where the seen set no longer fits a broadcast. Explicit
+      // broadcast() hints on tables bounded by construction (the
+      // budget-bounded selected fetch set, robots, budgets) survive a
+      // -1 threshold, so ONLY the unhinted seen-set anti-joins change
+      // shape: the exact leg becomes the full frontier × seen shuffle
+      // the break-even model assumes, while the Bloom leg's verify join
+      // shuffles just the maybe-seen sliver against the seen table.
+      // This is the knob behind BASELINE.md's measured break-even legs.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        if (sys.env.get("GRAFT_NOBC").contains("1")) "-1" else "10485760")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        if (sys.env.get("GRAFT_NOBC").contains("1")) "-1" else "10485760")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(SparkTune.conf)
