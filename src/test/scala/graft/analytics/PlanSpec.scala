@@ -166,6 +166,102 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no-broadcast regime (beyond-broadcast seen set): the exact " +
+      "anti-join becomes a shuffle join, the Bloom verify join's left " +
+      "side is only the maybe-seen sliver, and bounded-table hints survive") {
+    // The GRAFT_NOBC measurement knob (ScalingBench) emulates a seen set
+    // too big to broadcast by disabling AUTOMATIC broadcast conversion.
+    // BASELINE.md's break-even legs rest on three plan claims — pin them:
+    // (1) the exact leg's frontier × seen anti-join is a shuffle join
+    //     (the full-shuffle-per-round cost the model charges it);
+    // (2) the Bloom leg's exact-verify anti-join reads only the
+    //     maybe-seen sliver of the flagged frontier, never the full one;
+    // (3) explicit broadcast() hints on tables bounded by construction
+    //     (robots rules, the budget-bounded selected fetch set) survive a
+    //     -1 threshold, as they would at 10^10 scale.
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import graft.crawl.Round
+    import graft.extract.EscoMatcher
+    import graft.seen.BloomShard
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // static plans: the assertions must see the no-broadcast shape itself,
+    // not AQE's small-fixture broadcast conversion of it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val pages = Synth.pages(spark, 8, 4, 3).toDF().cache()
+    try {
+      pages.count()
+      val robots = Synth.robots(spark, 8)
+      val frontier = Frontier.fromUrls(
+        pages.select(col("url"), col("warc_ts"), lit(0).as("depth")),
+        Synth.priorityKeywords, Synth.excludeKeywords)
+      // a nonempty seen set (half the frontier) so both the exact
+      // anti-join and the Bloom verify join have real work
+      val seen = frontier.toDF().select(col("url_hash"))
+        .filter(pmod(col("url_hash"), lit(2)) === 0)
+        .localCheckpoint(true)
+      val dict = EscoMatcher.broadcastDict(spark,
+        Synth.escoLabels().map(l => (l.concept_uri, l.preferred_label)))
+      // the round's seen-set joins live upstream of the ranked-frontier
+      // cache (out.caches.head); assert on its cached physical plan
+      def rankedPlan(out: Round.Output) =
+        out.caches.head.queryExecution.optimizedPlan.collect {
+          case r: InMemoryRelation => r.cachedPlan
+        }.head
+      def antiLefts(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect {
+          case j: SortMergeJoinExec if j.joinType == LeftAnti => j.left
+          case j: ShuffledHashJoinExec if j.joinType == LeftAnti => j.left
+        }
+
+      val exact = Round.run(pages, robots, frontier, seen, dict, 0,
+        roundMs = 200000L)
+      val exactRanked = rankedPlan(exact)
+      // (1) the anti-join shuffles — no automatic broadcast of the seen set
+      assert(antiLefts(exactRanked).nonEmpty,
+        s"exact anti-join is not a shuffle join:\n$exactRanked")
+      assert(!exactRanked.toString.contains("BroadcastHashJoin LeftAnti"),
+        exactRanked.toString)
+      // (3) the robots-gate hint survives in the same plan
+      assert(exactRanked.toString.contains("BroadcastHashJoin"),
+        s"robots broadcast hint did not survive -1 threshold:\n$exactRanked")
+      // (3) the fetch join keeps its budget-bounded broadcast hint
+      val exactFetch = exact.resultCache.queryExecution.optimizedPlan.collect {
+        case r: InMemoryRelation => r.cachedPlan
+      }.head
+      assert(exactFetch.toString.contains("BroadcastHashJoin"),
+        s"fetch-join broadcast hint did not survive:\n$exactFetch")
+
+      val shards = BloomShard.build(seen, BloomShard.testParams)
+        .localCheckpoint(true)
+      val bloom = Round.run(pages, robots, frontier, seen, dict, 0,
+        roundMs = 200000L, bloomPrefilter = true, bloomCopartition = true,
+        prebuiltShards = Some(shards))
+      val bloomRanked = rankedPlan(bloom)
+      // (2) the single anti-join's LEFT side is the maybe-seen filter of
+      // the flagged-frontier cache, not the full frontier
+      val lefts = antiLefts(bloomRanked)
+      assert(lefts.size == 1, s"expected one verify anti-join:\n$bloomRanked")
+      assert(lefts.head.toString.contains(BloomShard.MaybeCol),
+        s"verify join's left side is not the maybe-seen sliver:\n" +
+          lefts.head.toString)
+      // and both regimes fetch the identical page set
+      assert(bloom.fetchedCount === exact.fetchedCount)
+
+      exact.release(); exact.releaseResults()
+      bloom.release(); bloom.releaseResults()
+      graft.util.Checkpoints.release(seen)
+      graft.util.Checkpoints.release(shards)
+    } finally {
+      pages.unpersist()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("host-budget selection costs exactly one exchange on the frontier") {
     val pages = Synth.pages(spark, 8, 4, 3).toDF()
     val robots = Synth.robots(spark, 8)
