@@ -98,7 +98,12 @@ object Bench {
       // it the exact-verify join's left side, matches the design point
       // rather than the spec fixtures' deliberately tiny test filter
       bloomParams = graft.seen.BloomShard.scaleParams,
-      bucketedFetch = bucketed)
+      bucketedFetch = bucketed,
+      // throughput legs never read the results: consume-and-release mode
+      // keeps disk scratch at one round's working set (a retained slice
+      // cache pins every shuffle file beneath its lineage — at the 3.3M
+      // corpus that accumulated ~80 GB and killed the leg with ENOSPC)
+      retainResults = false)
     val elapsed = (System.nanoTime() - t0) / 1e9
     pages.unpersist()
     // in-memory crawls retain each round's enriched cache as its result

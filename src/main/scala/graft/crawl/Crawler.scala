@@ -101,7 +101,20 @@ object Crawler {
       // Recrawl uses). Probe dispatch is by SeenShard.kind either way.
       cuckooSeen: Boolean = false,
       cuckooParams: graft.seen.CuckooShard.Params =
-        graft.seen.CuckooShard.testParams)
+        graft.seen.CuckooShard.testParams,
+      // consume-and-release: callers that only need the final state and
+      // counters (throughput benchmarks; any real crawl whose results
+      // stream to a sink) set this false and each round's enriched cache
+      // is dropped as soon as the round has consumed it. This is a SCALE
+      // requirement, not a convenience: a retained in-memory slice is a
+      // cache whose recompute lineage pins every shuffle file beneath it
+      // — ContextCleaner cannot reap a shuffle that a live plan still
+      // references — so a 30-round in-memory crawl at the 3.3M-url corpus
+      // accumulated ~80 GB of scratch and died of ENOSPC. With
+      // retainResults=false, live scratch is one round's working set.
+      // The returned results Dataset is EMPTY in this mode; lineage
+      // counters (driver-local rows) are still returned in full.
+      retainResults: Boolean = true)
       (implicit spark: SparkSession)
       : (CrawlState, Dataset[CrawlResult], Dataset[Lineage]) = {
     import spark.implicits._
@@ -239,7 +252,7 @@ object Crawler {
               s.read(state.round, "frontier").as[FrontierEntry],
               s.read(state.round, "seen"), newTotal, newShards)
           case None =>
-            resultSlices += slice
+            if (retainResults) resultSlices += slice
             lineageSlices += patchedLineage
             state = CrawlState(state.round + 1, fr.as[FrontierEntry],
               newSeen, newTotal, newShards)
@@ -261,7 +274,7 @@ object Crawler {
         // lives until the caller drops it (Bench clears the cache manager
         // between reps; specs run at fixture scale)
         out.release()
-        if (snapshot.isDefined) out.releaseResults()
+        if (snapshot.isDefined || !retainResults) out.releaseResults()
         if (roundLog) System.err.println(
           f"[crawl] round ${state.round - 1}%3d fetched=${out.fetchedCount}%7d " +
           f"total=${state.totalFetched}%8d secs=${(System.nanoTime() - t0) / 1e9}%7.2f " +

@@ -243,4 +243,21 @@ class CrawlerSpec extends SparkSpec {
     val passed = BloomShard.filterUnseen(fresh, shards)(spark).count()
     assert(passed >= 490) // few false positives allowed
   }
+
+  test("consume-and-release mode (retainResults=false) crawls the same " +
+      "pages: identical state + lineage, empty results handle") {
+    val (state, results, lineage) = full
+    val (s2, r2, l2) = Crawler.crawl(pages, robots, seeds, dictLabels,
+      maxRounds = 40, roundMs = 4000L, retainResults = false)(spark)
+    assert(s2.totalFetched === state.totalFetched)
+    assert(s2.round === state.round)
+    // the seen set (the crawl's URL membership record) must be identical
+    assert(s2.seenHashes.except(state.seenHashes).count() === 0L)
+    assert(state.seenHashes.except(s2.seenHashes).count() === 0L)
+    // lineage counters are preserved in full; the results handle is empty
+    assert(l2.agg(sum("fetch_count")).head.getLong(0) ===
+      lineage.agg(sum("fetch_count")).head.getLong(0))
+    assert(r2.count() === 0L)
+    assert(results.count() === state.totalFetched)
+  }
 }
