@@ -17,15 +17,19 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
-  private def crawlAt(cores: Int, nHosts: Int, basePages: Int,
-      richness: Int): (Long, Double) = {
-    // GRAFT_LOCAL_CLUSTER=<execMemMb>: run as a pseudo-cluster of
-    // (cores/8) executor JVMs × 8 cores each instead of one local[N]
-    // JVM — the faithful sandbox analog of the north rule's "N vs 4N
-    // executors" criterion: per-executor heaps mean GC work scales with
-    // executor count exactly as on a real cluster, instead of one shared
-    // heap serving every worker thread. Requires `sbt package` first
-    // (executors load app classes from the packaged jar).
+  /** The measurement session: one parallelism level, every engine knob
+    * identical across legs. Shared by ScalingBench and ScalingCensus so a
+    * census component and a crawl leg at the same `cores` see the same
+    * engine configuration.
+    *
+    * GRAFT_LOCAL_CLUSTER=<execMemMb>: run as a pseudo-cluster of
+    * (cores/8) executor JVMs × 8 cores each instead of one local[N]
+    * JVM — the faithful sandbox analog of the north rule's "N vs 4N
+    * executors" criterion: per-executor heaps mean GC work scales with
+    * executor count exactly as on a real cluster, instead of one shared
+    * heap serving every worker thread. Requires `sbt package` first
+    * (executors load app classes from the packaged jar). */
+  def session(cores: Int): SparkSession = {
     val localCluster = sys.env.get("GRAFT_LOCAL_CLUSTER").map(_.toInt)
     val master = localCluster match {
       case Some(memMb) =>
@@ -93,6 +97,12 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     StageLog.maybeInstall(spark.sparkContext)
+    spark
+  }
+
+  private def crawlAt(cores: Int, nHosts: Int, basePages: Int,
+      richness: Int): (Long, Double) = {
+    val spark = session(cores)
     // warmup leg (recorded round-1 protocol): a small untimed crawl first
     // pays JIT + Catalyst/janino codegen warmup inside this JVM, mirroring
     // the steady-state warm executors of a real cluster — the N-vs-4N
