@@ -95,6 +95,24 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .config(SparkTune.conf)
       .getOrCreate()
+    // Local-cluster executors register ASYNCHRONOUSLY after getOrCreate
+    // returns; until then CoarseGrainedSchedulerBackend.defaultParallelism
+    // is max(registeredCores, 2) = 2, and any spark.range-backed synthesis
+    // planned in that window inherits a 2-slice layout for the life of its
+    // cache — observed in the round-5 census legs, where the 832k corpus
+    // extract ran on 2 of 32 cores (663 s at [1,8]; 725 s at [4,8]: both
+    // measuring the race, not scaling). The composite crawl legs dodged
+    // this only because their untimed warmup crawl preceded synthesis.
+    // Block until the requested cores are registered so data layout never
+    // depends on the registration race.
+    localCluster.foreach { _ =>
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.sparkContext.defaultParallelism < cores &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+      require(spark.sparkContext.defaultParallelism >= cores,
+        s"only ${spark.sparkContext.defaultParallelism} of $cores cores " +
+        "registered after 120 s — check worker/executor logs")
+    }
     spark.sparkContext.setLogLevel("WARN")
     StageLog.maybeInstall(spark.sparkContext)
     spark
