@@ -190,7 +190,11 @@ object FuzzyQueries {
     * "skills" = the order's sorted distinct part names (the reference
     * blob is the course's titles+skills text, main.py:4395-4402). */
   private def themeBlobs(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    // fact scan is one unsplittable row group — spread the 4-join +
+    // partial-aggregate map work across cores (no-op at real scale;
+    // guide §2.5, see graft.util.Scans)
+    val li = graft.util.Scans.parallel(t(s, dir, "lineitem"))
+    val o = t(s, dir, "orders")
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
     val p = t(s, dir, "part")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -230,9 +234,20 @@ object FuzzyQueries {
         case Some((ms, mdir, df)) if (ms eq s) && mdir == dir => df
         case _ =>
           clearThemeMemo()
-          val df = themeSearch(themeBlobs(s, dir), Seq("green", "steel"),
-            "any", threshold = 60, page = 1, perPage = 25)
-            .localCheckpoint(true)
+          // the blob table feeds themeSearch TWICE (the distinct scoring
+          // side and the join-back side) — uncached, the 4-join + group
+          // subtree executed twice per page build (round-6 isolation
+          // bench: ~1.5 s per execution at sf0.1, the single largest
+          // slice of the theme pair). Cache it for the one eager page
+          // materialization, then drop it: the checkpointed page is
+          // self-contained, so nothing persists across invocations
+          // (guide §2.4: share one computation, don't re-run the subtree).
+          val blobs = themeBlobs(s, dir).cache()
+          val df = try {
+            themeSearch(blobs, Seq("green", "steel"),
+              "any", threshold = 60, page = 1, perPage = 25)
+              .localCheckpoint(true)
+          } finally blobs.unpersist()
           themeMemoEntry = Some((s, dir, df))
           df
       }

@@ -19,6 +19,15 @@ object Dedup {
   private def t(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  // guide §2.5 input-skew fix for the SIGNATURE-UDF variants only: the
+  // single-row-group documents file scans as ONE task, serializing the
+  // per-doc minhash/simhash UDFs on one core. Scans.parallel is a
+  // guarded no-op at real scale. The cheap per-row variants (md5 exact,
+  // token explode) measured FASTER without the extra exchange — the
+  // round-6 A/B is in OPTIMIZATION_r06.md.
+  private def tp(s: SparkSession, dir: String): DataFrame =
+    graft.util.Scans.parallel(t(s, dir))
+
   // ------------------------------------------------------------- exact
 
   /** Exact dedup: keep min(doc_id) per content hash. One shuffle on the
@@ -222,7 +231,7 @@ object Dedup {
   }
 
   val qDedupMinhash: (SparkSession, String) => DataFrame = (s, dir) =>
-    minhashPairs(t(s, dir), 0.5)(s)
+    minhashPairs(tp(s, dir), 0.5)(s)
 
   /** Brute-force shingle-Jaccard pairs — test oracle for minhash recall
     * (only run at test scale). */
@@ -295,7 +304,7 @@ object Dedup {
   }
 
   val qDedupSimhash: (SparkSession, String) => DataFrame = (s, dir) =>
-    simhashPairs(t(s, dir), 3)
+    simhashPairs(tp(s, dir), 3)
 
   // --------------------------------------- near-dup cluster resolution
 
@@ -313,14 +322,21 @@ object Dedup {
     * guaranteed (labels strictly decrease). */
   def clusterPairs(pairs: DataFrame)
       (implicit spark: SparkSession): DataFrame = {
+    // LAZY checkpoints: each iteration's count() both materializes the
+    // new labels AND reads the moved flags in ONE job (the former eager
+    // checkpoint ran a materialization job and then a second count job —
+    // same trick as the crawl loop's frontier). Superseded label
+    // checkpoints are released as soon as the next one is materialized
+    // instead of waiting for driver GC + ContextCleaner.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint(false)
+    var labelsRoot = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var labels = labelsRoot
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
@@ -333,10 +349,15 @@ object Dedup {
             coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"),
           (col("l.cluster_id") >
             coalesce(col("nbr_min"), col("l.cluster_id"))).as("moved"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("moved")).count()
+      graft.util.Checkpoints.release(labelsRoot)
+      labelsRoot = next
       labels = next.drop("moved")
     }
+    // the final labelsRoot backs the returned Dataset — left live for
+    // the caller; edges are fully consumed
+    graft.util.Checkpoints.release(edges)
     labels
   }
 
@@ -353,7 +374,7 @@ object Dedup {
   /** Minhash near-dup clusters with canonical keeper per cluster
     * (rows-only driver check; exactness vs union-find is spec-tested). */
   val qDedupClusters: (SparkSession, String) => DataFrame = (s, dir) => {
-    val clusters = clusterPairs(minhashPairs(t(s, dir), 0.5)(s))(s)
+    val clusters = clusterPairs(minhashPairs(tp(s, dir), 0.5)(s))(s)
     clusters.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         array_sort(collect_list(col("doc_id"))).as("members"))

@@ -23,9 +23,109 @@ object Ratio extends Serializable {
   private def matchingBlocks(a: String, b: String): Int =
     matchingBlockList(a, b).map(_._3).sum
 
+  /** Above this |b| the O(|a|·|b|) scan path loses to difflib's b2j
+    * char-index; both paths compute identical blocks (golden-tested). */
+  private val ScanPathMaxB = 512
+
   /** difflib's matching blocks as (i, j, size) triples (unordered —
-    * callers needing difflib's sorted order must sort). */
+    * callers needing difflib's sorted order must sort).
+    *
+    * Two implementations with IDENTICAL semantics (same visit order,
+    * same strict-`>` tie handling, so the same blocks fall out):
+    *  - short |b| (the engine's hot path: part names, theme keywords vs
+    *    ~40-160 char blobs): a direct char-scan with flat int arrays for
+    *    the j2len diagonals — zero boxing, zero per-call HashMaps. The
+    *    round-6 isolation bench measured the former HashMap form at
+    *    ~7 µs/call on the theme corpus; this form is ~10× cheaper and
+    *    the ratio family sits under every fuzzy query's distinct-key
+    *    scoring pass (guide §1.2 step 2: per-task work).
+    *  - long |b|: the original difflib b2j hash-index recursion, kept
+    *    for strings where O(|a|·|b|) would not fly.
+    */
   private def matchingBlockList(a: String, b: String)
+      : List[(Int, Int, Int)] =
+    if (b.length <= ScanPathMaxB) matchingBlockListScan(a, b)
+    else matchingBlockListHashed(a, b)
+
+  /** Flat-array variant: j2len diagonals live in two reused int arrays
+    * (cur = previous i's row, nxt = current row), cleared via the
+    * touched-position lists so each i pays O(matches), not O(|b|). The
+    * inner j loop visits ascending j exactly like the b2j ArrayBuffer
+    * did, and best-match updates use the same strict `>` — difflib's
+    * earliest-(i,j) tie rule is preserved bit-for-bit. */
+  private def matchingBlockListScan(a: String, b: String)
+      : List[(Int, Int, Int)] = {
+    val lb = b.length
+    var cur = new Array[Int](lb + 1)
+    var nxt = new Array[Int](lb + 1)
+    var curTouched = new Array[Int](lb)
+    var nxtTouched = new Array[Int](lb)
+    var nCur = 0
+
+    def longestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
+      var besti = alo; var bestj = blo; var bestsize = 0
+      // reset carried state from any previous longestMatch call
+      var t = 0
+      while (t < nCur) { cur(curTouched(t)) = 0; t += 1 }
+      nCur = 0
+      var i = alo
+      while (i < ahi) {
+        val c = a.charAt(i)
+        var nNxt = 0
+        var j = blo
+        while (j < bhi) {
+          if (b.charAt(j) == c) {
+            val k = (if (j > blo) cur(j - 1) else 0) + 1
+            nxt(j) = k
+            nxtTouched(nNxt) = j; nNxt += 1
+            if (k > bestsize) { besti = i - k + 1; bestj = j - k + 1; bestsize = k }
+          }
+          j += 1
+        }
+        // clear the previous row, then promote this one
+        t = 0
+        while (t < nCur) { cur(curTouched(t)) = 0; t += 1 }
+        val swapA = cur; cur = nxt; nxt = swapA
+        val swapT = curTouched; curTouched = nxtTouched; nxtTouched = swapT
+        nCur = nNxt
+        i += 1
+      }
+      // extend over equal elements on both sides (difflib "popular" skip
+      // is disabled — no junk)
+      while (besti > alo && bestj > blo &&
+          a.charAt(besti - 1) == b.charAt(bestj - 1)) {
+        besti -= 1; bestj -= 1; bestsize += 1
+      }
+      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+          a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
+        bestsize += 1
+      }
+      (besti, bestj, bestsize)
+    }
+
+    var blocks = List.empty[(Int, Int, Int)]
+    val queue = mutable.Stack((0, a.length, 0, b.length))
+    while (queue.nonEmpty) {
+      val (alo, ahi, blo, bhi) = queue.pop()
+      val (i, j, k) = longestMatch(alo, ahi, blo, bhi)
+      if (k > 0) {
+        blocks ::= (i, j, k)
+        if (alo < i && blo < j) queue.push((alo, i, blo, j))
+        if (i + k < ahi && j + k < bhi) queue.push((i + k, ahi, j + k, bhi))
+      }
+    }
+    blocks
+  }
+
+  // test hooks: RatioSpec cross-checks the two block implementations on
+  // pseudo-random pairs (they must agree exactly, including block order)
+  private[fuzzy] def blocksScanForTest(a: String, b: String) =
+    matchingBlockListScan(a, b)
+  private[fuzzy] def blocksHashedForTest(a: String, b: String) =
+    matchingBlockListHashed(a, b)
+
+  /** Original difflib b2j hash-index form (long-|b| path). */
+  private def matchingBlockListHashed(a: String, b: String)
       : List[(Int, Int, Int)] = {
     // b2j: char -> positions in b
     val b2j = mutable.HashMap.empty[Char, mutable.ArrayBuffer[Int]]

@@ -26,7 +26,14 @@ object MlOps {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** TF-IDF document vectors over `documents.text`. */
-  def tfidf(docs: DataFrame, vocabSize: Int = 1 << 12): DataFrame = {
+  def tfidf(docs0: DataFrame, vocabSize: Int = 1 << 12): DataFrame = {
+    // guide §2.5: the single-row-group documents scan serializes the
+    // tokenizer/vectorizer map work AND both ML fits on one core.
+    // Partitioning cannot change the result here: the corpus vocabulary
+    // is far below vocabSize (31 distinct tokens vs 4096), so the
+    // frequency cutoff never binds — index permutations of a complete
+    // vocabulary leave every dot product and norm unchanged.
+    val docs = graft.util.Scans.parallel(docs0)
     val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
     val cv = new CountVectorizer().setInputCol("words")
       .setOutputCol("tf").setVocabSize(vocabSize)
@@ -37,29 +44,67 @@ object MlOps {
     idf.transform(tf)
   }
 
-  private val cosineVec = udf((a: Vector, b: Vector) => {
-    val na = math.sqrt(a.toArray.map(x => x * x).sum)
-    val nb = math.sqrt(b.toArray.map(x => x * x).sum)
-    if (na == 0 || nb == 0) 0.0
-    else {
-      var dot = 0.0
-      val da = a.toArray; val db = b.toArray
-      var i = 0
-      while (i < da.length) { dot += da(i) * db(i); i += 1 }
-      dot / (na * nb)
-    }
+  /** Dot product that walks only ACTIVE components, in ascending index
+    * order — bit-identical to the former dense-array loop (skipped terms
+    * are exact 0.0 products; tf-idf values are finite, and addition of
+    * 0.0 is an IEEE identity), but O(nnz) instead of O(vocabSize) and
+    * with no 2×vocabSize-double dense materialization per PAIR. At the
+    * 4096-term vocab the dense form allocated ~64 KiB per scored pair
+    * (guide §1.2 step 2 / §4: per-task work, allocation in the hot path). */
+  private def sparseDot(a: Vector, b: Vector): Double = (a, b) match {
+    case (sa: org.apache.spark.ml.linalg.SparseVector,
+          sb: org.apache.spark.ml.linalg.SparseVector) =>
+      val ai = sa.indices; val av = sa.values
+      val bi = sb.indices; val bv = sb.values
+      var d = 0.0; var i = 0; var j = 0
+      while (i < ai.length && j < bi.length) {
+        if (ai(i) == bi(j)) { d += av(i) * bv(j); i += 1; j += 1 }
+        else if (ai(i) < bi(j)) i += 1
+        else j += 1
+      }
+      d
+    case (sa: org.apache.spark.ml.linalg.SparseVector, _) =>
+      var d = 0.0
+      sa.foreachActive((i, x) => d += x * b(i))
+      d
+    case (_, sb: org.apache.spark.ml.linalg.SparseVector) =>
+      var d = 0.0
+      sb.foreachActive((i, x) => d += a(i) * x)
+      d
+    case _ =>
+      var d = 0.0; var i = 0; val n = a.size
+      while (i < n) { d += a(i) * b(i); i += 1 }
+      d
+  }
+
+  /** L2 norm over active components (ascending index) — same IEEE value
+    * as the former dense map-square-sum. */
+  private val normVec = udf((v: Vector) => {
+    var s = 0.0
+    v.foreachActive((_, x) => s += x * x)
+    math.sqrt(s)
   })
+
+  /** Cosine from a precomputed-norm pair — same zero-norm guard and the
+    * same dot/(na*nb) grouping as the former all-in-one cosineVec; norms
+    * are per-ROW quantities, so pairwise callers compute them once per
+    * side (normVec) instead of once per pair. */
+  private val cosinePre = udf((a: Vector, b: Vector, na: Double, nb: Double) =>
+    if (na == 0 || nb == 0) 0.0 else sparseDot(a, b) / (na * nb))
 
   /** F25: TF-IDF cosine recommender — for each query doc (doc_id < 5),
     * the top-5 most similar other docs. */
   val qTfidfSimilar: (SparkSession, String) => DataFrame = (s, dir) => {
     val vecs = tfidf(t(s, dir, "documents"))
       .select(col("doc_id"), col("tfidf"))
+      .withColumn("nrm", normVec(col("tfidf")))
     val q = vecs.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("query_id"), col("tfidf").as("qv"))
+      .select(col("doc_id").as("query_id"), col("tfidf").as("qv"),
+        col("nrm").as("qn"))
     val scored = vecs.crossJoin(broadcast(q))
       .filter(col("doc_id") =!= col("query_id"))
-      .withColumn("cos", round(cosineVec(col("tfidf"), col("qv")), 4))
+      .withColumn("cos", round(cosinePre(col("tfidf"), col("qv"),
+        col("nrm"), col("qn")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -108,7 +153,8 @@ object MlOps {
     val cands = cb.join(broadcast(qb), Seq("table", "sig"))
       .filter(col("query_id") =!= col("similar_id"))
       .dropDuplicates("query_id", "similar_id")
-      .withColumn("cos", round(cosineVec(col("cv"), col("qv")), 4))
+      .withColumn("cos", round(cosinePre(col("cv"), col("qv"),
+        normVec(col("cv")), normVec(col("qv"))), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("similar_id").asc)
     cands.withColumn("rank", row_number().over(w))

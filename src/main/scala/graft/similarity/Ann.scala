@@ -18,14 +18,23 @@ object Ann {
   private def t(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Codegen dot product of two double-array columns. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Codegen L2 norm of a double-array column. */
+  def norm(x: Column): Column = sqrt(dot(x, x))
+
   /** Cosine similarity between two double-array columns — expressed with
     * `zip_with`/`aggregate` so it stays inside codegen (no Scala UDF in
-    * the hot path). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+    * the hot path). Pairwise callers should prefer [[dot]] with
+    * PRE-COMPUTED per-row [[norm]] columns: this form re-derives both
+    * norms for every pair, tripling the zip_with work of an N×M scoring
+    * join (guide §2.3 — don't recompute what a row already knows). The
+    * value is identical either way: sqrt(dot(v,v)) is the same IEEE
+    * double whether evaluated per row or per pair. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
@@ -35,13 +44,18 @@ object Ann {
     * vec_id tie-break so the result is engine-stable. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int)
       : DataFrame = {
+    // norms are per-ROW quantities: compute them once per side instead
+    // of once per pair (identical IEEE value; see cosine's scaladoc)
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -52,7 +66,10 @@ object Ann {
 
   val qAnnTopK: (SparkSession, String) => DataFrame = (s, dir) => {
     val e = t(s, dir)
-    bruteForceTopK(e, e.filter(col("vec_id") < 5), 10)
+    // corpus side carries the per-pair scoring work; the testdata scan is
+    // one unsplittable row group (guide §2.5, graft.util.Scans)
+    bruteForceTopK(graft.util.Scans.parallel(e),
+      e.filter(col("vec_id") < 5), 10)
   }
 
   /** Similar-pair search on a sampled subset (embedding near-dup shape):
@@ -61,11 +78,16 @@ object Ann {
     val e = t(s, dir)
     val a = e.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("vec_a"), asDouble(col("embedding")).as("va"))
-    val b = e.select(col("vec_id").as("vec_b"),
-      asDouble(col("embedding")).as("vb"))
+      .withColumn("na", norm(col("va")))
+    // the corpus side scores every pair — parallelize its one-split scan
+    val b = graft.util.Scans.parallel(e)
+      .select(col("vec_id").as("vec_b"),
+        asDouble(col("embedding")).as("vb"))
+      .withColumn("nb", norm(col("vb")))
     b.crossJoin(broadcast(a))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -91,12 +113,22 @@ object Ann {
   def plane(table: Int, p: Int, dim: Int): Array[Double] =
     Array.tabulate(dim)(planeComponent(table, p, _))
 
+  /** Planes are pure functions of (table, p, dim) — memoize them so the
+    * signature UDF stops re-deriving every component (64 mix() calls +
+    * an array allocation) per plane PER ROW. Round-6 measurement: the
+    * rebuild was the bulk of q_ann_lsh's bucketize stage. Bounded:
+    * NumTables × NumPlanes entries per distinct dim. */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), Array[Double]]
+  private def planeCached(table: Int, p: Int, dim: Int): Array[Double] =
+    planeCache.getOrElseUpdate((table, p, dim), plane(table, p, dim))
+
   /** Bucket signature of a vector in one table: sign bits vs each plane. */
   def signature(vec: Seq[Double], table: Int): Int = {
     var sig = 0
     var p = 0
     while (p < NumPlanes) {
-      val pl = plane(table, p, vec.length)
+      val pl = planeCached(table, p, vec.length)
       var dotv = 0.0
       var j = 0
       while (j < vec.length) { dotv += pl(j) * vec(j); j += 1 }
@@ -126,7 +158,11 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "qv", "cv")
       .distinct()
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      // norms once per surviving candidate row (identical value to the
+      // inline cosine; the pair set is post-distinct so this is minimal)
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))),
+          4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w))
@@ -137,7 +173,8 @@ object Ann {
 
   val qAnnLsh: (SparkSession, String) => DataFrame = (s, dir) => {
     val e = t(s, dir)
-    lshTopK(e, e.filter(col("vec_id") < 5), 10)(s)
+    lshTopK(graft.util.Scans.parallel(e),
+      e.filter(col("vec_id") < 5), 10)(s)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

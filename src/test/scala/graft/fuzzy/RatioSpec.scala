@@ -116,4 +116,30 @@ class RatioSpec extends AnyFunSuite {
     val a = "analysis"; val b = "data intro ba db"
     assert(Ratio.tokenSetRatio(a, b) !== Ratio.tokenSetRatio(b, a))
   }
+
+  test("flat-array block scan ≡ difflib b2j hash form on 4000 " +
+      "pseudo-random pairs (round-6 hot-path rewrite; exact list " +
+      "equality pins visit order and tie handling, not just scores)") {
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("ab", "abc ", "abcdefgh ", "green stl")
+    for (trial <- 0 until 4000) {
+      val alpha = alphabets(trial % alphabets.size)
+      def str(maxLen: Int) = {
+        val n = rnd.nextInt(maxLen + 1)
+        (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val a = str(20)
+      val b = str(60)
+      assert(Ratio.blocksScanForTest(a, b) === Ratio.blocksHashedForTest(a, b),
+        s"blocks diverge on a='$a' b='$b'")
+    }
+    // long-|b| pairs cross the 512 dispatch boundary: public entry points
+    // must be continuous across it
+    val longB = ("abc " * 200).trim // 799 chars -> hashed path
+    val nearB = longB.take(512)     // scan path
+    assert(Ratio.blocksScanForTest("green cab", nearB) ===
+      Ratio.blocksHashedForTest("green cab", nearB))
+    assert(Ratio.blocksScanForTest("green cab", longB) ===
+      Ratio.blocksHashedForTest("green cab", longB))
+  }
 }
