@@ -37,6 +37,18 @@ object ScalingBench {
         s"local-cluster[${cores / 8},8,$memMb]"
       case None => s"local[$cores]"
     }
+    // echo the RESOLVED layout (VERDICT r5 #6): the memory-as-suffix
+    // encoding (GRAFT_LOCAL_CLUSTER=22528 = n×22g executors) is one typo
+    // from an invalid pair that looks valid in the leg logs — print what
+    // the session will actually run so a mis-typed layout can never
+    // masquerade as the intended one. ScalingCensus shares this session.
+    localCluster match {
+      case Some(memMb) => System.err.println(
+        f"[session] resolved layout: ${cores / 8} executor JVM(s) × 8 " +
+        f"cores × ${memMb / 1024.0}%.1fg (master=$master)")
+      case None => System.err.println(
+        s"[session] resolved layout: single JVM, master=$master")
+    }
     // the SPARK_GC_OPTS A/B knob (build.sbt) reaches the driver JVM via
     // sbt javaOptions; executors are separate JVMs in local-cluster mode
     // and must get the SAME collector or a GC A/B silently compares

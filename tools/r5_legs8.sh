@@ -5,8 +5,8 @@
 # per-round work amortizes the fixed multi-JVM constants; H1 extends it
 # one more doubling. GRAFT_REPS=1 (untimed warmup + ONE timed rep per
 # leg — wall-clock bounded; per-leg timestamps recorded here so a stall
-# can be correlated after the fact; fetched-count equality asserted by
-# comparing the legs' JSON).
+# can be correlated after the fact; compare the legs' fetched counts in
+# the JSON manually after the run — this script does not assert them).
 # One leg per process; never compile/test concurrently (timing purity).
 set -u
 cd /root/repo
