@@ -191,9 +191,12 @@ object FuzzyQueries {
     * blob is the course's titles+skills text, main.py:4395-4402). */
   private def themeBlobs(s: SparkSession, dir: String): DataFrame = {
     // fact scan is one unsplittable row group — spread the 4-join +
-    // partial-aggregate map work across cores (no-op at real scale;
-    // guide §2.5, see graft.util.Scans)
-    val li = graft.util.Scans.parallel(t(s, dir, "lineitem"))
+    // aggregate work across cores, hash-partitioned ON the order key so
+    // the (uni, course) groupBy below reuses this same exchange (the
+    // broadcast joins propagate l_orderkey ≡ o_orderkey partitioning;
+    // no-op at real scale; guide §2.4/§2.5, see graft.util.Scans)
+    val li = graft.util.Scans.parallelBy(t(s, dir, "lineitem"),
+      col("l_orderkey"))
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
     val p = t(s, dir, "part")

@@ -79,7 +79,8 @@ object BenchExtra {
     }
 
     if (stages("themeplan")) {
-      val li = t("lineitem"); val o = t("orders")
+      val li = graft.util.Scans.parallelBy(t("lineitem"), col("l_orderkey"))
+      val o = t("orders")
       val c = t("customer"); val n = t("nation"); val p = t("part")
       val blobs = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(p, li("l_partkey") === p("p_partkey"))
@@ -91,6 +92,27 @@ object BenchExtra {
       noop(blobs)
       println("[benchextra] blobs FINAL plan:\n" +
         blobs.queryExecution.executedPlan.toString.take(6000))
+    }
+
+    if (stages("catmerge")) {
+      def variant(li: org.apache.spark.sql.DataFrame) = {
+        val base = li.select(col("l_orderkey"), col("l_partkey"),
+          array(col("l_returnflag"), col("l_linestatus")).as("categories"))
+        val existing = base.filter(col("l_orderkey") % 2 === 0)
+        val incoming = base.filter(col("l_orderkey") % 2 === 1)
+        graft.sources.Sources.upsertMergeCategories(existing, incoming,
+          Seq("l_orderkey", "l_partkey"), "categories")
+          .select(col("l_orderkey"), col("l_partkey"),
+            array_join(col("categories"), ",").as("categories"))
+          .orderBy(col("l_orderkey"), col("l_partkey"))
+      }
+      for (rep <- 1 to 3) {
+        timed(spark, s"catmerge/plain rep$rep") {
+          variant(t("lineitem")).count() }
+        timed(spark, s"catmerge/keyed rep$rep") {
+          variant(graft.util.Scans.parallelBy(t("lineitem"),
+            col("l_orderkey"), col("l_partkey"))).count() }
+      }
     }
 
     if (stages("ratio")) {

@@ -31,4 +31,21 @@ object Scans {
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
   }
+
+  /** [[parallel]] variant that hash-partitions on `keys` instead of
+    * round-robin — when the downstream aggregation groups by (a superset
+    * of) `keys`, the one repartition exchange ALSO satisfies the
+    * aggregate's distribution requirement (broadcast joins propagate and
+    * expand the streamed side's hash partitioning across join-key
+    * equivalences), so the plan keeps ONE exchange where round-robin +
+    * groupBy would pay two (guide §2.4: operations keyed the same way
+    * share one exchange). Same guard, same no-op at real scale — where
+    * the standard scan → partial-agg → exchange shape is the right one
+    * because map-side combine shrinks the late shuffle. */
+  def parallelBy(df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, keys: _*)
+  }
 }
