@@ -31,10 +31,16 @@ object ScalingBench {
     * (executors load app classes from the packaged jar). */
   def session(cores: Int): SparkSession = {
     val localCluster = sys.env.get("GRAFT_LOCAL_CLUSTER").map(_.toInt)
-    val master = localCluster match {
-      case Some(memMb) =>
-        require(cores % 8 == 0, s"local-cluster legs use 8-core executors")
-        s"local-cluster[${cores / 8},8,$memMb]"
+    val CoresPerExec = 8
+    // layout derived ONCE; the echo below prints these same values, so
+    // it cannot desynchronize from the master string it describes
+    val layout = localCluster.map { memMb =>
+      require(cores % CoresPerExec == 0,
+        s"local-cluster legs use $CoresPerExec-core executors")
+      (cores / CoresPerExec, CoresPerExec, memMb)
+    }
+    val master = layout match {
+      case Some((nExec, cpe, memMb)) => s"local-cluster[$nExec,$cpe,$memMb]"
       case None => s"local[$cores]"
     }
     // echo the RESOLVED layout (VERDICT r5 #6): the memory-as-suffix
@@ -42,9 +48,9 @@ object ScalingBench {
     // from an invalid pair that looks valid in the leg logs — print what
     // the session will actually run so a mis-typed layout can never
     // masquerade as the intended one. ScalingCensus shares this session.
-    localCluster match {
-      case Some(memMb) => System.err.println(
-        f"[session] resolved layout: ${cores / 8} executor JVM(s) × 8 " +
+    layout match {
+      case Some((nExec, cpe, memMb)) => System.err.println(
+        f"[session] resolved layout: $nExec executor JVM(s) × $cpe " +
         f"cores × ${memMb / 1024.0}%.1fg (master=$master)")
       case None => System.err.println(
         s"[session] resolved layout: single JVM, master=$master")

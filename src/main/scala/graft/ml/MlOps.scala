@@ -25,15 +25,20 @@ object MlOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** TF-IDF document vectors over `documents.text`. */
-  def tfidf(docs0: DataFrame, vocabSize: Int = 1 << 12): DataFrame = {
-    // guide §2.5: the single-row-group documents scan serializes the
-    // tokenizer/vectorizer map work AND both ML fits on one core.
-    // Partitioning cannot change the result here: the corpus vocabulary
-    // is far below vocabSize (31 distinct tokens vs 4096), so the
-    // frequency cutoff never binds — index permutations of a complete
-    // vocabulary leave every dot product and norm unchanged.
-    val docs = graft.util.Scans.parallel(docs0)
+  /** TF-IDF document vectors over `documents.text`.
+    *
+    * The input is deliberately NOT repartitioned (unlike the other
+    * round-6 §2.5 fixes): CountVectorizer.fit orders the vocabulary
+    * with `RDD.top(n)(Ordering.by(count))` — ties between equal-count
+    * terms break by partition-traversal order, so a repartition can
+    * permute vocabulary INDICES. Cosines are index-label invariant,
+    * but the LSH signature path (sparseSignature → planeComponent(j))
+    * consumes the raw index j, so a permutation would silently change
+    * q_tfidf_lsh's bucket membership and emitted rows — the same
+    * partition-dependent-fit hazard class that keeps q_kmeans_clusters
+    * unrepartitioned. The round-6 A/B also showed the parallel fit no
+    * faster (0.81 vs 0.66 s warm), so nothing is given up. */
+  def tfidf(docs: DataFrame, vocabSize: Int = 1 << 12): DataFrame = {
     val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
     val cv = new CountVectorizer().setInputCol("words")
       .setOutputCol("tf").setVocabSize(vocabSize)

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * Separate from the frozen graft.Bench driver contract.
   *
   * Usage: runMain graft.tools.BenchExtra [stage ...]
-  *   stages: theme, ratio, ann, tfidf, clusters (default: all)
+  *   default stages: theme, ratio, ann, tfidf, clusters
+  *   extra (opt-in): themeplan (blob-build executed-plan dump),
+  *                   catmerge (keyed-vs-plain repartition A/B)
   */
 object BenchExtra {
 
@@ -42,19 +44,29 @@ object BenchExtra {
     spark.sparkContext.setLogLevel("WARN")
     def t(s: String) = spark.read.parquet(s"$sfDir/$s.parquet")
 
+    // mirror of the (private) FuzzyQueries.themeBlobs join/aggregate
+    // shape, parameterized by the lineitem source so the theme
+    // decomposition and the themeplan dump share ONE definition — kept
+    // in lock-step with production by using the same keyed scan
+    def blobPipeline(li: DataFrame): DataFrame = {
+      val o = t("orders"); val c = t("customer")
+      val n = t("nation"); val p = t("part")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(p, li("l_partkey") === p("p_partkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name").as("uni"), col("o_orderkey").as("course"))
+        .agg(array_sort(collect_set(lower(col("p_name")))).as("skills"))
+        .withColumn("blob", concat_ws(" ", col("skills")))
+    }
+    def productionBlobs(): DataFrame = blobPipeline(
+      graft.util.Scans.parallelBy(t("lineitem"), col("l_orderkey")))
+
     if (stages("theme")) {
       // decompose the theme pipeline: blob build / distinct / scoring /
       // full page. 2 reps each (first pays codegen).
       for (rep <- 1 to 2) {
-        val li = t("lineitem"); val o = t("orders")
-        val c = t("customer"); val n = t("nation"); val p = t("part")
-        val blobs = li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(p, li("l_partkey") === p("p_partkey"))
-          .join(c, o("o_custkey") === c("c_custkey"))
-          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-          .groupBy(col("n_name").as("uni"), col("o_orderkey").as("course"))
-          .agg(array_sort(collect_set(lower(col("p_name")))).as("skills"))
-          .withColumn("blob", concat_ws(" ", col("skills")))
+        val blobs = productionBlobs()
         timed(spark, s"theme/blobs rep$rep") { noop(blobs) }
         val distinctBlobs = blobs.select(col("blob")).distinct()
         timed(spark, s"theme/distinct rep$rep") { noop(distinctBlobs) }
@@ -79,16 +91,7 @@ object BenchExtra {
     }
 
     if (stages("themeplan")) {
-      val li = graft.util.Scans.parallelBy(t("lineitem"), col("l_orderkey"))
-      val o = t("orders")
-      val c = t("customer"); val n = t("nation"); val p = t("part")
-      val blobs = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(p, li("l_partkey") === p("p_partkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .groupBy(col("n_name").as("uni"), col("o_orderkey").as("course"))
-        .agg(array_sort(collect_set(lower(col("p_name")))).as("skills"))
-        .withColumn("blob", concat_ws(" ", col("skills")))
+      val blobs = productionBlobs()
       noop(blobs)
       println("[benchextra] blobs FINAL plan:\n" +
         blobs.queryExecution.executedPlan.toString.take(6000))

@@ -43,11 +43,6 @@ object RecrawlBench {
       ScalingBench.session(cores)
     import spark.implicits._
 
-    // cuckoo sizing per the COVERAGE.md rule: capacity ≥ |seen|/(4×0.95)
-    // with power-of-2 buckets; 64 × 2^12 × 4 ≈ 1.05M slots covers the
-    // 208k corpus at ~0.2 mean load (32 KiB per shard)
-    val cuckooParams = CuckooShard.Params(64, 1 << 12)
-
     def timed[T](name: String)(f: => T): (T, Double) = {
       spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
@@ -86,6 +81,18 @@ object RecrawlBench {
     val nSeen = state.seenHashes.count()
     System.err.println(s"[recrawl] rounds=${state.round} cutoff=$cutoff " +
       s"expired=$nExpired seen=$nSeen")
+
+    // cuckoo sizing per the COVERAGE.md rule, derived from the MEASURED
+    // seen-set size (the corpus scales with the CLI args — a hardcoded
+    // Params would throw over-capacity on a larger corpus): 64 shards,
+    // power-of-2 buckets, capacity ≥ |seen|/(4×0.95). At the default
+    // 208k corpus this lands on 64 × 2^12 ≈ 1.05M slots (32 KiB/shard).
+    val bucketsNeeded = nSeen / (64.0 * 4 * 0.95)
+    var bucketsPerShard = 1 << 10
+    while (bucketsPerShard < bucketsNeeded) bucketsPerShard <<= 1
+    val cuckooParams = CuckooShard.Params(64, bucketsPerShard)
+    System.err.println(s"[recrawl] cuckoo params: 64 × $bucketsPerShard " +
+      s"buckets (capacity ${(64L * bucketsPerShard * 4 * 0.95).toLong})")
 
     // standing cuckoo shards (what a cuckoo-backed crawl carries in
     // state) — built once, NOT part of the delete measurement

@@ -14,22 +14,37 @@ import org.apache.spark.sql.DataFrame
   * blob build (4 broadcast joins + partial collect_set over 600k rows)
   * spent ~1.5 s single-threaded behind exactly this.
   *
-  * [[parallel]] inserts one round-robin repartition ONLY when the scan's
-  * split count is below the session's default parallelism. The guard —
-  * not a tuned constant — is what carries across scales: any realistic
-  * multi-split input (every production table; 100 TB is ~10⁵ splits)
-  * takes the no-op branch, while the single-row-group fixture spreads
-  * its map work across cores for the price of shuffling the projected
-  * scan columns once. Round-robin repartition is deterministic under
+  * [[parallel]] inserts one round-robin repartition ONLY when the scan
+  * is both SMALL (estimated ≤ [[MaxRepartitionBytes]]) and UNDER-SPLIT
+  * (fewer splits than the session's default parallelism). The guards —
+  * not a tuned constant — are what carry across scales: any realistic
+  * at-scale input takes the no-op branch on size alone (and multi-split
+  * tables on the split count too), while the single-row-group fixture
+  * spreads its map work across cores for the price of shuffling the
+  * projected scan columns once. Round-robin repartition is deterministic under
   * retries (sortBeforeRepartition, SPARK-23207) and every consumer in
   * this engine is order-insensitive past it (exact decimal/integer
   * aggregates, array_sort'ed collects, totally-ordered final sorts).
   */
 object Scans {
+
+  /** Inputs whose ESTIMATED size exceeds this are never repartitioned,
+    * even when their split count is below the core count: a real table
+    * compacted into a few large row groups should be fixed at the file
+    * layout (guide §6), not by re-shuffling every projected row on
+    * every query. Both guards no-op the helper at any realistic
+    * at-scale input; only genuinely small, under-split fixtures pay
+    * the one extra exchange. */
+  val MaxRepartitionBytes: Long = 1L << 30
+
+  private def smallAndUndersplit(df: DataFrame, target: Int): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(MaxRepartitionBytes) &&
+      df.rdd.getNumPartitions < target
+
   def parallel(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target)
+    if (smallAndUndersplit(df, target)) df.repartition(target) else df
   }
 
   /** [[parallel]] variant that hash-partitions on `keys` instead of
@@ -45,7 +60,7 @@ object Scans {
   def parallelBy(df: DataFrame,
       keys: org.apache.spark.sql.Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target, keys: _*)
+    if (smallAndUndersplit(df, target)) df.repartition(target, keys: _*)
+    else df
   }
 }
