@@ -50,8 +50,8 @@ object ScalingBench {
     // masquerade as the intended one. ScalingCensus shares this session.
     layout match {
       case Some((nExec, cpe, memMb)) => System.err.println(
-        f"[session] resolved layout: $nExec executor JVM(s) × $cpe " +
-        f"cores × ${memMb / 1024.0}%.1fg (master=$master)")
+        f"[session] resolved layout: $nExec executor JVM(s) x $cpe " +
+        f"cores x ${memMb / 1024.0}%.1fg (master=$master)")
       case None => System.err.println(
         s"[session] resolved layout: single JVM, master=$master")
     }
